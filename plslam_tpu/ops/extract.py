@@ -1,0 +1,98 @@
+"""Full ORB-style multi-scale point feature extraction as one XLA program.
+
+TPU-native counterpart of `ORBextractor::operator()`
+(`src/ORBextractor.cc:1043-1105`): pyramid -> dense FAST (dual threshold) ->
+NMS -> grid-uniform top-k per level -> IC-angle orientation -> steered
+binary descriptor, all with static shapes.  The per-level feature budget is
+geometric in 1/scale exactly like the reference (`src/ORBextractor.cc:435-446`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fast, orb, pyramid, select
+
+
+class PointFeatures(NamedTuple):
+    """Fixed-capacity per-frame point features (the `Frame` keypoint block,
+    cf `src/Frame.cc:224-293`)."""
+
+    uv: jnp.ndarray        # (N, 2) float32 — level-0 (distorted-image) coords
+    uv_un: jnp.ndarray     # (N, 2) float32 — undistorted pixel coords (filled by Frame)
+    response: jnp.ndarray  # (N,)  float32
+    octave: jnp.ndarray    # (N,)  int32
+    angle: jnp.ndarray     # (N,)  float32 radians
+    desc: jnp.ndarray      # (N, 256) uint8 bits
+    valid: jnp.ndarray     # (N,)  bool
+
+
+class ExtractorConfig(NamedTuple):
+    n_features: int = 1024
+    n_levels: int = 8
+    scale: float = 1.2
+    th_fast_high: float = 20.0
+    th_fast_low: float = 7.0
+    margin: int = 20          # reference EDGE_THRESHOLD=19 (+1 for rotation)
+    cell: int = 32            # ~30px FAST cells in the reference
+
+
+def level_budgets(cfg: ExtractorConfig):
+    """Per-level feature counts, geometric in 1/scale
+    (cf `src/ORBextractor.cc:435-446`)."""
+    inv = 1.0 / cfg.scale
+    raw = np.array([inv ** l for l in range(cfg.n_levels)])
+    raw = raw / raw.sum() * cfg.n_features
+    budgets = np.floor(raw).astype(int)
+    budgets[0] += cfg.n_features - budgets.sum()
+    return [int(b) for b in budgets]
+
+
+def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatures:
+    """img: (H, W) float32 grayscale in [0, 255] -> PointFeatures with
+    N = cfg.n_features static slots."""
+    levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale)
+    budgets = level_budgets(cfg)
+
+    uv_all, resp_all, oct_all, ang_all, desc_all, valid_all = [], [], [], [], [], []
+    for l, (im_l, n_l) in enumerate(zip(levels, budgets)):
+        if n_l == 0:
+            continue
+        score = fast.fast_dual_threshold(im_l, cfg.th_fast_high, cfg.th_fast_low,
+                                         cfg.margin)
+        uv, resp, valid = select.select_grid_topk(score, n_l, cell=cfg.cell)
+        ang = orb.ic_angle(im_l, uv)
+        im_blur = pyramid.blur(im_l)
+        bits = orb.steered_descriptor(im_blur, uv, ang)
+
+        s = cfg.scale ** l
+        uv_all.append(uv * s)
+        resp_all.append(resp)
+        oct_all.append(jnp.full((n_l,), l, jnp.int32))
+        ang_all.append(ang)
+        desc_all.append(bits)
+        valid_all.append(valid)
+
+    uv = jnp.concatenate(uv_all)
+    feats = PointFeatures(
+        uv=uv,
+        uv_un=uv,  # identity until Frame applies undistortion
+        response=jnp.concatenate(resp_all),
+        octave=jnp.concatenate(oct_all),
+        angle=jnp.concatenate(ang_all),
+        desc=jnp.concatenate(desc_all),
+        valid=jnp.concatenate(valid_all),
+    )
+    return feats
+
+
+def scale_factors(cfg: ExtractorConfig):
+    """(n_levels,) scale factor per octave (1.2^l), and sigma2 = scale^2 —
+    the per-octave measurement variance used in every chi2 gate
+    (`src/ORBextractor.cc` mvScaleFactor / mvLevelSigma2)."""
+    s = np.array([cfg.scale ** l for l in range(cfg.n_levels)], np.float32)
+    return jnp.asarray(s), jnp.asarray(s * s)
