@@ -42,13 +42,20 @@ def vee(W):
 def _sinc_terms(theta2):
     """Stable (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3) from theta^2.
 
-    Uses Taylor expansions below a cutoff so exp/log are differentiable at 0.
+    Taylor branches below a cutoff; denominators in the generic branch are
+    clamped so the *untaken* branch stays finite with finite derivatives
+    (the jnp.where autodiff-NaN rule: 0 * nan = nan would otherwise poison
+    gradients at theta = 0).
     """
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    # Clamp at the Taylor-branch cutoff (not smaller): the clamp value feeds
+    # quotient-rule gradients whose denominators are ~t2s^3 — with a 1e-16
+    # clamp those underflow float32 and give nan * 0 = nan through jnp.where.
+    t2s = jnp.maximum(theta2, 1e-8)
+    theta = jnp.sqrt(t2s)
     small = theta2 < 1e-8
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (t2s * theta))
     return a, b, c
 
 
