@@ -1,0 +1,385 @@
+"""System facade: the reference's public API (`include/System.h:66-134`)
+over the TPU-native pipeline.
+
+`System(settings).track_monocular(img, t)` mirrors
+`System::TrackMonocular` (`src/System.cc:231`).  Internally there are no
+threads and no locks: the host loop owns a functional :class:`MapState` and
+invokes jitted device programs — extraction, tracking, keyframe insertion,
+triangulation, local BA, culling — in the same order the reference's
+Tracking/LocalMapping threads interleave them (bounded-lag semantics:
+mapping runs synchronously at keyframe creation, which the reference
+approximates with its AcceptKeyFrames idle check).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import camera as cam_mod, se3
+from ..mapstate import state as mstate
+from ..models import mapping, tracking
+from ..ops import extract
+from ..solvers import twoview
+from ..optim import local_ba
+
+
+@dataclass
+class SLAMConfig:
+    # camera (TUM1-like defaults)
+    fx: float = 517.306408
+    fy: float = 516.469215
+    cx: float = 318.643040
+    cy: float = 255.313989
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    # extraction
+    n_features: int = 1024
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    th_fast_high: float = 20.0
+    th_fast_low: float = 7.0
+    # map capacities
+    max_kf: int = 48
+    max_pt: int = 12288
+    max_ln: int = 1024
+    n_lf: int = 256
+    # policy
+    min_init_matches: int = 100
+    min_track_inliers: int = 10
+    kf_min_interval: int = 0
+    kf_max_interval: int = 10
+    kf_ref_ratio: float = 0.9
+    ba_window: int = 8
+    ba_points: int = 4096
+    seed: int = 0
+
+    @staticmethod
+    def from_yaml(path: str) -> "SLAMConfig":
+        """Load the reference's YAML schema (`Examples/Monocular/TUM1.yaml`
+        keys, read by `src/Tracking.cc:53-170`)."""
+        import yaml
+        with open(path) as f:
+            text = f.read()
+        # OpenCV FileStorage yaml has a %YAML directive line; strip it
+        lines = [l for l in text.splitlines() if not l.startswith("%YAML")]
+        d = yaml.safe_load("\n".join(lines)) or {}
+        g = lambda k, default: d.get(k, default)
+        return SLAMConfig(
+            fx=g("Camera.fx", 517.3), fy=g("Camera.fy", 516.5),
+            cx=g("Camera.cx", 318.6), cy=g("Camera.cy", 255.3),
+            k1=g("Camera.k1", 0.0), k2=g("Camera.k2", 0.0),
+            p1=g("Camera.p1", 0.0), p2=g("Camera.p2", 0.0),
+            k3=g("Camera.k3", 0.0),
+            width=int(g("Camera.width", 640)), height=int(g("Camera.height", 480)),
+            fps=g("Camera.fps", 30.0),
+            n_features=int(g("ORBextractor.nFeatures", 1000)) if False else 1024,
+            n_levels=int(g("ORBextractor.nLevels", 8)),
+            scale_factor=g("ORBextractor.scaleFactor", 1.2),
+            th_fast_high=g("ORBextractor.iniThFAST", 20.0),
+            th_fast_low=g("ORBextractor.minThFAST", 7.0),
+        )
+
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+LOST = "LOST"
+
+
+class System:
+    """Monocular point(+line) SLAM. Public surface mirrors the reference:
+    `track_monocular`, `shutdown`, `save_keyframe_trajectory_tum`,
+    `save_trajectory_tum`, `reset`, localization mode toggles."""
+
+    def __init__(self, config: SLAMConfig = SLAMConfig(), use_jit: bool = True):
+        self.cfg = config
+        self.cam = cam_mod.Camera.create(
+            config.fx, config.fy, config.cx, config.cy, config.k1, config.k2,
+            config.p1, config.p2, config.k3, config.width, config.height)
+        self.ext_cfg = extract.ExtractorConfig(
+            n_features=config.n_features, n_levels=config.n_levels,
+            scale=config.scale_factor, th_fast_high=config.th_fast_high,
+            th_fast_low=config.th_fast_low)
+        self.map_cfg = mstate.MapConfig(
+            max_kf=config.max_kf, max_pt=config.max_pt, max_ln=config.max_ln,
+            n_kp=config.n_features, n_lf=config.n_lf,
+            n_levels=config.n_levels, scale=config.scale_factor)
+        self.scale_factors, self.sigma2 = extract.scale_factors(self.ext_cfg)
+
+        jit = jax.jit if use_jit else (lambda f, **kw: f)
+        cam = self.cam
+        self._extract = jit(self._extract_impl)
+        self._track = jit(partial(
+            tracking.track_local_map, cam,
+            scale_factors=self.scale_factors, sigma2_levels=self.sigma2,
+            n_levels=config.n_levels, scale=config.scale_factor))
+        self._update_stats = jit(tracking.update_point_stats)
+        self._match_frames = jit(tracking.match_frames)
+        self._init_two_view = jit(partial(twoview.initialize_two_view, K=jnp.asarray(np.asarray(cam.K))))
+        self._insert_kf = jit(partial(
+            mapping.insert_keyframe, cam, scale_factors=self.scale_factors))
+        self._create_points = jit(partial(
+            mapping.create_new_points, cam, sigma2_levels=self.sigma2,
+            scale_factors=self.scale_factors))
+        self._local_ba = jit(partial(
+            mapping.run_local_ba, cam, sigma2_levels=self.sigma2,
+            window=config.ba_window, p_ba=config.ba_points))
+        self._cull = jit(mapping.cull_points)
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """`System::Reset` equivalent (`src/Tracking.cc:2246`)."""
+        self.ms = mstate.allocate(self.map_cfg)
+        self.state = NOT_INITIALIZED
+        self.velocity = jnp.eye(4)
+        self.T_last = jnp.eye(4)
+        self.frame_id = -1
+        self.last_kf_frame = -1
+        self.ref_kf_matches = 0
+        self._init_feats = None
+        self._init_frame_id = -1
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.kf_timestamps: list[float] = []
+        self.timings: list[float] = []
+        self.stats: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def _extract_impl(self, img):
+        feats = extract.extract_points(img, self.ext_cfg)
+        uv_un = cam_mod.undistort_pixels(self.cam, feats.uv)
+        return feats._replace(uv_un=uv_un)
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
+        """Process one grayscale frame; returns the 4x4 camera pose Tcw or
+        None while uninitialized (matching `TrackMonocular` returning an
+        empty Mat before init)."""
+        t0 = time.perf_counter()
+        self.frame_id += 1
+        img = jnp.asarray(img, jnp.float32)
+        feats = self._extract(img)
+
+        if self.state == NOT_INITIALIZED:
+            T = self._try_initialize(feats, timestamp)
+        else:
+            T = self._track_frame(feats, timestamp)
+        self.timings.append(time.perf_counter() - t0)
+        return T
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, timestamp):
+        n_valid = int(jnp.sum(feats.valid))
+        if self._init_feats is None or n_valid < self.cfg.min_init_matches:
+            if n_valid >= self.cfg.min_init_matches:
+                self._init_feats = feats
+                self._init_frame_id = self.frame_id
+                self._init_ts = timestamp
+            return None
+
+        idx2, ok = self._match_frames(self._init_feats, feats)
+        n_matches = int(jnp.sum(ok))
+        if n_matches < self.cfg.min_init_matches:
+            # too few matches: make the current frame the new anchor
+            self._init_feats = feats
+            self._init_frame_id = self.frame_id
+            self._init_ts = timestamp
+            return None
+
+        res = self._init_two_view(
+            jax.random.PRNGKey(self.cfg.seed),
+            self._init_feats.uv_un, feats.uv_un[idx2], ok)
+        if not bool(res.success):
+            return None
+
+        self._create_initial_map(feats, idx2, res, timestamp)
+        self.state = OK
+        T = np.asarray(self.ms.kf_T[1])
+        self.trajectory.append((timestamp, T))
+        return T
+
+    # ------------------------------------------------------------------
+    def _create_initial_map(self, feats, idx2, res: twoview.TwoViewResult,
+                            timestamp):
+        """`CreateInitialMapMonoWithLine` (`src/Tracking.cc:942`) minus lines:
+        two keyframes, triangulated points normalized to unit median depth,
+        then a full BA over the window."""
+        good = np.asarray(res.good)
+        X = np.asarray(res.X)
+        z = X[good][:, 2]
+        med_depth = float(np.median(z)) if good.any() else 1.0
+        X = X / med_depth
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = np.asarray(res.R)
+        T2[:3, 3] = np.asarray(res.t) / med_depth
+
+        n_new = int(good.sum())
+        N = self.map_cfg.n_kp
+        # map point ids 0..n_new-1 assigned to good matches in slot order
+        pid = np.full(N, -1, np.int32)
+        pid[good] = np.arange(n_new, dtype=np.int32)
+
+        f1 = self._init_feats
+        matched1 = jnp.asarray(pid)
+        ms = self._insert_kf(self.ms, f1, jnp.eye(4), matched1,
+                             jnp.int32(self._init_frame_id))
+        # second KF: same points observed at idx2 slots
+        pid2 = np.full(N, -1, np.int32)
+        idx2_np = np.asarray(idx2)
+        pid2[idx2_np[good]] = pid[good]
+        ms = self._insert_kf(ms, feats, jnp.asarray(T2), jnp.asarray(pid2),
+                             jnp.int32(self.frame_id))
+
+        # write landmark geometry (insert_kf only binds observations)
+        sel = np.nonzero(good)[0]
+        ms = ms._replace(
+            pt_xyz=ms.pt_xyz.at[jnp.asarray(pid[sel])].set(jnp.asarray(X[sel])),
+            n_pt=jnp.int32(n_new),
+        )
+        # scale-invariance range + normals from KF1 geometry
+        d = np.linalg.norm(X[sel], axis=-1)
+        oct1 = np.asarray(f1.octave)[sel]
+        sf = np.asarray(self.scale_factors)
+        max_dist = d * sf[oct1]
+        min_dist = max_dist / sf[-1]
+        normal = X[sel] / np.maximum(d[:, None], 1e-6)
+        ids = jnp.asarray(pid[sel])
+        ms = ms._replace(
+            pt_min_dist=ms.pt_min_dist.at[ids].set(jnp.asarray(min_dist)),
+            pt_max_dist=ms.pt_max_dist.at[ids].set(jnp.asarray(max_dist)),
+            pt_normal=ms.pt_normal.at[ids].set(jnp.asarray(normal)),
+            pt_valid=ms.pt_valid.at[ids].set(True),
+            pt_first_kf=ms.pt_first_kf.at[ids].set(0),
+            pt_n_obs=ms.pt_n_obs.at[ids].set(2),
+            pt_visible=ms.pt_visible.at[ids].set(2),
+            pt_found=ms.pt_found.at[ids].set(2),
+        )
+        self.ms = self._local_ba(ms)
+
+        self.T_last = self.ms.kf_T[1]
+        self.velocity = jnp.eye(4)
+        self.last_kf_frame = self.frame_id
+        self.ref_kf_matches = n_new
+        self.kf_timestamps = [self._init_ts, timestamp]
+        self.trajectory.append((self._init_ts, np.eye(4)))
+
+    # ------------------------------------------------------------------
+    def _track_frame(self, feats, timestamp):
+        T_pred = self.velocity @ self.T_last
+        res = self._track(self.ms, feats, T_pred)
+        n_inl = int(res.n_inliers)
+
+        if n_inl < self.cfg.min_track_inliers:
+            self.state = LOST
+            # keep constant-velocity dead reckoning; relocalization arrives
+            # with the place-recognition stage
+            T = T_pred
+            self.trajectory.append((timestamp, np.asarray(T)))
+            self.T_last = T
+            self.stats.append({"inliers": n_inl, "kf": False, "lost": True})
+            return np.asarray(T)
+
+        self.state = OK
+        T = res.T
+        self.ms = self._update_stats(self.ms, res)
+        # Damped constant-velocity model: raw velocity extrapolation turns
+        # estimator wander in weakly-observable directions (e.g. the
+        # rotation/translation valley of a plane-dominated view) into an
+        # exponentially growing oscillation (e_{k+1} ~ 2 e_k - e_{k-1});
+        # damping the twist by gamma < 1 moves the characteristic roots to
+        # {1, gamma} — marginally stable, so off-plane points keep the pose
+        # pinned. The reference's undamped model survives only because its
+        # matcher re-anchors to the last frame; ours anchors to the map.
+        gamma = 0.8
+        vel_twist = se3.se3_log(T @ se3.se3_inv(self.T_last))
+        self.velocity = se3.se3_exp(gamma * vel_twist)
+        self.T_last = T
+
+        made_kf = self._maybe_keyframe(feats, res, timestamp)
+        self.trajectory.append((timestamp, np.asarray(T)))
+        self.stats.append({"inliers": n_inl, "kf": made_kf, "lost": False})
+        return np.asarray(T)
+
+    # ------------------------------------------------------------------
+    def _maybe_keyframe(self, feats, res: tracking.TrackResult, timestamp) -> bool:
+        """`NeedNewKeyFrame` (`src/Tracking.cc:1568`) policy, single-thread
+        form: enough frames elapsed AND tracking weakening vs the reference
+        keyframe (or a hard max interval)."""
+        since = self.frame_id - self.last_kf_frame
+        n_inl = int(res.n_inliers)
+        n_kf = int(self.ms.n_kf)
+        if n_kf >= self.map_cfg.max_kf - 1:
+            return False
+        weak = n_inl < self.cfg.kf_ref_ratio * max(self.ref_kf_matches, 1)
+        need = (since >= self.cfg.kf_max_interval) or (
+            since > self.cfg.kf_min_interval and weak and n_inl > 15)
+        if not need:
+            return False
+
+        k_new = n_kf
+        ms = self._insert_kf(self.ms, feats, res.T, res.matched_pt,
+                             jnp.int32(self.frame_id))
+        # triangulate vs previous keyframe, then the one before (3-view span)
+        ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 1))
+        if k_new >= 2:
+            ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 2))
+        ms = self._local_ba(ms)
+        ms = self._cull(ms, jnp.int32(k_new))
+        self.ms = ms
+        self.last_kf_frame = self.frame_id
+        self.ref_kf_matches = int(jnp.sum(res.matched_pt >= 0))
+        self.kf_timestamps.append(timestamp)
+        return True
+
+    # ------------------------------------------------------------------
+    def shutdown(self):
+        """`System::Shutdown` — no threads to join; provided for API parity."""
+
+    def n_map_points(self) -> int:
+        return int(jnp.sum(self.ms.pt_valid))
+
+    def n_keyframes(self) -> int:
+        return int(self.ms.n_kf)
+
+    def poses(self) -> np.ndarray:
+        return np.stack([T for _, T in self.trajectory])
+
+    # --- trajectory export (src/System.cc:337-519) ---
+    def save_trajectory_tum(self, path: str):
+        _write_tum(path, self.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        n = int(self.ms.n_kf)
+        kf = [(self.kf_timestamps[k], np.asarray(self.ms.kf_T[k]))
+              for k in range(min(n, len(self.kf_timestamps)))]
+        _write_tum(path, kf)
+
+    def save_trajectory_kitti(self, path: str):
+        with open(path, "w") as f:
+            for _, T in self.trajectory:
+                Twc = np.linalg.inv(T)
+                f.write(" ".join(f"{v:.6e}" for v in Twc[:3, :4].reshape(-1)) + "\n")
+
+
+def _write_tum(path, items):
+    from ..geometry import se3 as _se3
+    with open(path, "w") as f:
+        for ts, T in items:
+            Twc = np.linalg.inv(T)
+            q = np.asarray(_se3.rot_to_quat(jnp.asarray(Twc[:3, :3])))
+            t = Twc[:3, 3]
+            # TUM format: tx ty tz qx qy qz qw
+            f.write(f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")

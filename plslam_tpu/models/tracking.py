@@ -1,0 +1,179 @@
+"""Per-frame tracking as one jitted XLA program.
+
+TPU-native counterpart of the reference front end (`src/Tracking.cc`):
+`TrackWithMotionModel` + `TrackLocalMapWithLines` collapse into a single
+device program — instead of walking per-cell grid buckets
+(`Frame::GetFeaturesInArea`, `src/Frame.cc:713`) the matcher computes the
+FULL keypoint x map-point Hamming matrix on the MXU and applies the frustum
+/ window / scale gates as masks (`ORBmatcher::SearchByProjection`
+semantics, `src/ORBmatcher.cc:56-152`), then runs the staged-LM pose
+optimization.  The search-then-optimize-twice structure of the reference is
+replaced by one wider search + one optimization, which subsumes it.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..mapstate.state import MapState
+from ..ops import hamming
+from ..ops.extract import PointFeatures
+from ..optim import pose_opt
+
+TH_HIGH = 100  # src/ORBmatcher.cc:38
+TH_LOW = 50
+
+
+class TrackResult(NamedTuple):
+    T: jnp.ndarray            # (4,4) optimized pose
+    matched_pt: jnp.ndarray   # (N,) i32 map-point id per keypoint (-1)
+    inlier: jnp.ndarray       # (N,) bool
+    n_inliers: jnp.ndarray    # () i32
+    n_visible: jnp.ndarray    # () i32
+    visible_pts: jnp.ndarray  # (P,) bool (for found/visible statistics)
+
+
+def predict_scale(dist, max_dist, scale: float, n_levels: int):
+    """`MapPoint::PredictScale` (`src/MapPoint.cc:396`): expected octave from
+    the ratio of the max scale-invariance distance to the current distance."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-6), 1e-6)
+    level = jnp.ceil(jnp.log(ratio) / jnp.log(scale))
+    return jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
+
+
+def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
+                       scale_factors, radius_scale, wide: bool,
+                       n_levels: int, scale: float):
+    """Projection-window search of frame keypoints against the map under
+    pose T. `wide=True` = motion-model-style radius (flat 15px x octave
+    scale, `src/Tracking.cc:1338`); `wide=False` = local-map radii
+    (2.5/4.0 by viewing angle, `src/ORBmatcher.cc:146`)."""
+    Xc = se3.transform(T, ms.pt_xyz)
+    z = Xc[:, 2]
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    u = cam.fx * Xc[:, 0] * iz + cam.cx
+    v = cam.fy * Xc[:, 1] * iz + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+
+    T_wc = se3.se3_inv(T)
+    cam_center = T_wc[:3, 3]
+    po = ms.pt_xyz - cam_center
+    dist = jnp.linalg.norm(po, axis=-1)
+    in_range = (dist >= 0.8 * ms.pt_min_dist) & (dist <= 1.2 * ms.pt_max_dist)
+    view_cos = jnp.sum(po * ms.pt_normal, axis=-1) / jnp.maximum(dist, 1e-6)
+    visible = ms.pt_valid & (z > 0) & in_img & in_range & (view_cos > 0.5)
+
+    pred_level = predict_scale(dist, ms.pt_max_dist, scale, n_levels)
+    if wide:
+        r_base = jnp.full_like(dist, 15.0)
+    else:
+        r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = radius_scale * r_base * scale_factors[pred_level]  # (P,)
+
+    du = jnp.abs(feats.uv_un[:, 0:1] - u[None, :])  # (N, P)
+    dv = jnp.abs(feats.uv_un[:, 1:2] - v[None, :])
+    window = (du < radius[None, :]) & (dv < radius[None, :])
+    oct_ok = jnp.abs(feats.octave[:, None] - pred_level[None, :]) <= 1
+    mask = window & oct_ok & visible[None, :] & feats.valid[:, None]
+
+    best_idx, best, second = hamming.masked_best2(D, mask)
+    matched = best <= TH_HIGH
+    return best_idx, matched, visible
+
+
+def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
+                    scale_factors, sigma2_levels, th: float = 1.0,
+                    n_levels: int = 8, scale: float = 1.2) -> TrackResult:
+    """Two-stage tracking as one jitted program, mirroring the reference's
+    TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
+    1491`): a wide-radius search refines the constant-velocity prediction,
+    then the tight local-map search + second optimization produces the final
+    pose. Both searches reuse ONE Hamming matrix (N x P, computed once on
+    the MXU)."""
+    D = hamming.distance_matrix(feats.desc, ms.pt_desc)  # (N, P)
+    sigma2_kp = sigma2_levels[feats.octave]
+
+    def optimize(T0, best_idx, matched):
+        obs = pose_opt.PoseObs(
+            ms.pt_xyz[best_idx], feats.uv_un, sigma2_kp, matched,
+            *pose_opt.PoseObs.empty_lines(1))
+        return pose_opt.pose_optimize(cam, T0, obs)
+
+    # Stage 1: wide window around the motion-model prediction, UNIONed with
+    # a windowless ratio-test match (the TrackReferenceKeyFrame / BoW
+    # fallback of the reference, `src/Tracking.cc:1143` — here it is free:
+    # the full Hamming matrix already exists). The union keeps tracking
+    # graceful when the prediction is off by more than the window.
+    idx1, m1, _ = _match_against_map(cam, ms, feats, D, T_pred, scale_factors,
+                                     th, True, n_levels, scale)
+    g_mask = feats.valid[:, None] & ms.pt_valid[None, :]
+    g_idx, g_best, g_second = hamming.masked_best2(D, g_mask)
+    g_ok = (g_best <= TH_LOW) & (
+        g_best.astype(jnp.float32) < 0.7 * g_second.astype(jnp.float32))
+    use_global = ~m1 & g_ok
+    idx1 = jnp.where(use_global, g_idx, idx1)
+    m1 = m1 | use_global
+    res1 = pose_opt.pose_optimize(
+        cam, T_pred,
+        pose_opt.PoseObs(ms.pt_xyz[idx1], feats.uv_un, sigma2_kp, m1,
+                         *pose_opt.PoseObs.empty_lines(1)),
+        rounds=2)
+    # fall back to the prediction if the wide stage found too little
+    T_mid = jnp.where(res1.n_inliers >= 10, res1.T, T_pred)
+
+    # Stage 2: tight local-map search from the refined pose
+    idx2, m2, visible = _match_against_map(cam, ms, feats, D, T_mid,
+                                           scale_factors, th, False,
+                                           n_levels, scale)
+    res2 = optimize(T_mid, idx2, m2)
+
+    inlier = res2.pt_inlier & m2
+    matched_pt = jnp.where(inlier, idx2.astype(jnp.int32), -1)
+    return TrackResult(
+        T=res2.T,
+        matched_pt=matched_pt,
+        inlier=inlier,
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+        n_visible=jnp.sum(visible.astype(jnp.int32)),
+        visible_pts=visible,
+    )
+
+
+def update_point_stats(ms: MapState, result: TrackResult) -> MapState:
+    """Tracking found/visible counters (`MapPoint::IncreaseVisible/Found`,
+    used by the 0.25 found-ratio culling gate)."""
+    P = ms.pt_xyz.shape[0]
+    vis = ms.pt_visible + result.visible_pts.astype(jnp.int32)
+    found_hits = jnp.zeros((P,), jnp.int32).at[
+        jnp.clip(result.matched_pt, 0, P - 1)
+    ].add((result.matched_pt >= 0).astype(jnp.int32))
+    return ms._replace(pt_visible=vis, pt_found=ms.pt_found + found_hits)
+
+
+def match_frames(feats1: PointFeatures, feats2: PointFeatures,
+                 max_dist: int = TH_LOW, nn_ratio: float = 0.9,
+                 window: float = 100.0, check_rotation: bool = True):
+    """Frame-to-frame windowed NN matching — `SearchForInitialization`
+    (`src/ORBmatcher.cc:455`) semantics: window around the original
+    location, NN ratio, rotation-histogram verification.
+
+    Returns (idx2 (N,), ok (N,)) mapping feats1 slots to feats2 slots."""
+    D = hamming.distance_matrix(feats1.desc, feats2.desc)
+    du = jnp.abs(feats1.uv[:, 0:1] - feats2.uv[None, :, 0])
+    dv = jnp.abs(feats1.uv[:, 1:2] - feats2.uv[None, :, 1])
+    mask = (du < window) & (dv < window)
+    mask = mask & feats1.valid[:, None] & feats2.valid[None, :]
+    # The reference restricts init matching to level 0 but doubles the init
+    # feature budget (src/Tracking.cc:148); with a single budget we instead
+    # allow all levels with octave agreement — same candidate density.
+    mask = mask & (jnp.abs(feats1.octave[:, None] - feats2.octave[None, :]) <= 1)
+    idx, bestd, secondd = hamming.masked_best2(D, mask)
+    ok = (bestd <= max_dist) & (
+        bestd.astype(jnp.float32) < nn_ratio * secondd.astype(jnp.float32))
+    if check_rotation:
+        dangle = feats1.angle - feats2.angle[idx]
+        ok = hamming.rotation_histogram_mask(dangle, ok)
+    return idx, ok
