@@ -1,1 +1,1 @@
-from . import pyramid, fast, orb, select, hamming  # noqa: F401
+from . import pyramid, fast, orb, select, hamming, lines  # noqa: F401
