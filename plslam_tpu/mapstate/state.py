@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 
 
+def _bow_words():
+    from ..vocab import bow as _bow
+    return _bow.N_WORDS
+
+
 class MapConfig(NamedTuple):
     max_kf: int = 48          # keyframe capacity
     max_pt: int = 12288       # map point capacity
@@ -68,6 +73,7 @@ class MapState(NamedTuple):
     kf_ln_desc: jnp.ndarray   # (K, M, 256) u8
     kf_ln_valid: jnp.ndarray  # (K, M) bool
     kf_ln_idx: jnp.ndarray    # (K, M) i32 — map line per slot (-1)
+    kf_bow: jnp.ndarray       # (K, N_WORDS) f32 — place-recognition signature
     # --- counters ---
     n_kf: jnp.ndarray         # () i32
     n_pt: jnp.ndarray         # () i32
@@ -97,6 +103,7 @@ def allocate(cfg: MapConfig) -> MapState:
         kf_ln_desc=f((K, M, 256), jnp.uint8),
         kf_ln_valid=f((K, M), bool),
         kf_ln_idx=jnp.full((K, M), -1, jnp.int32),
+        kf_bow=f((K, _bow_words())),
         n_kf=jnp.int32(0), n_pt=jnp.int32(0), n_ln=jnp.int32(0),
     )
 

@@ -22,6 +22,7 @@ from ..mapstate import state as mstate
 from ..mapstate.state import MapState
 from ..ops import hamming
 from ..ops.extract import PointFeatures
+from ..vocab import bow
 from ..optim import local_ba
 
 TH_LOW = 50
@@ -29,10 +30,12 @@ CHI2_2D = 5.991
 
 
 def insert_keyframe(cam, ms: MapState, feats: PointFeatures, T, matched_pt,
-                    frame_id, scale_factors) -> MapState:
+                    frame_id, scale_factors, lfeats=None,
+                    matched_ln=None) -> MapState:
     """Promote the current frame to a keyframe (`CreateNewKeyFrame`,
     `src/Tracking.cc:1666` + `ProcessNewKeyFrame`, `src/LocalMapping.cc:157`):
-    write features, bind tracked map points, refresh their statistics."""
+    write features (points + line segments), bind tracked landmarks,
+    refresh their statistics."""
     k = ms.n_kf
     P = ms.pt_xyz.shape[0]
 
@@ -46,8 +49,28 @@ def insert_keyframe(cam, ms: MapState, feats: PointFeatures, T, matched_pt,
         kf_desc=ms.kf_desc.at[k].set(feats.desc),
         kf_kp_valid=ms.kf_kp_valid.at[k].set(feats.valid),
         kf_pt_idx=ms.kf_pt_idx.at[k].set(matched_pt),
+        kf_bow=ms.kf_bow.at[k].set(bow.bow_vector(feats.desc, feats.valid)),
         n_kf=ms.n_kf + 1,
     )
+    if lfeats is not None:
+        Lc = ms.ln_valid.shape[0]
+        ml = matched_ln if matched_ln is not None else jnp.full(
+            lfeats.valid.shape, -1, jnp.int32)
+        ms = ms._replace(
+            kf_ln_uv=ms.kf_ln_uv.at[k].set(
+                jnp.stack([lfeats.uv_a, lfeats.uv_b], axis=-2)),
+            kf_ln_l2d=ms.kf_ln_l2d.at[k].set(lfeats.l2d),
+            kf_ln_desc=ms.kf_ln_desc.at[k].set(lfeats.desc),
+            kf_ln_valid=ms.kf_ln_valid.at[k].set(lfeats.valid),
+            kf_ln_idx=ms.kf_ln_idx.at[k].set(ml),
+        )
+        has_l = ml >= 0
+        lid = jnp.clip(ml, 0, Lc - 1)
+        ms = ms._replace(
+            ln_n_obs=ms.ln_n_obs.at[lid].add(has_l.astype(jnp.int32)),
+            ln_desc=ms.ln_desc.at[lid].set(
+                jnp.where(has_l[:, None], lfeats.desc, ms.ln_desc[lid])),
+        )
 
     # refresh observation counts + normals + descriptors of bound points
     has = matched_pt >= 0
@@ -186,11 +209,122 @@ def create_new_points(cam, ms: MapState, k_new, k_ref, sigma2_levels,
     return ms
 
 
+def create_new_lines(cam, ms: MapState, k_new, k_ref,
+                     nn_ratio: float = 0.75, max_dist: int = 50,
+                     angle_tol: float = 0.29) -> MapState:
+    """Triangulate new map lines between two keyframes — the 2-view core of
+    `CreateNewMapLines` (`src/LocalMapping.cc:597`): mutual-best Hamming
+    matching of unbound segments with direction agreement, plane-intersection
+    triangulation, then cheirality / parallax-degeneracy / endpoint
+    reprojection gates."""
+    Lc = ms.ln_valid.shape[0]
+    M = ms.kf_ln_valid.shape[1]
+    T1 = ms.kf_T[k_new]
+    T2 = ms.kf_T[k_ref]
+
+    free1 = ms.kf_ln_valid[k_new] & (ms.kf_ln_idx[k_new] < 0)
+    free2 = ms.kf_ln_valid[k_ref] & (ms.kf_ln_idx[k_ref] < 0)
+
+    uv1 = ms.kf_ln_uv[k_new]   # (M, 2, 2)
+    uv2 = ms.kf_ln_uv[k_ref]
+    ang1 = jnp.arctan2(uv1[:, 1, 1] - uv1[:, 0, 1],
+                       uv1[:, 1, 0] - uv1[:, 0, 0]) % jnp.pi
+    ang2 = jnp.arctan2(uv2[:, 1, 1] - uv2[:, 0, 1],
+                       uv2[:, 1, 0] - uv2[:, 0, 0]) % jnp.pi
+    d_ang = jnp.abs(ang1[:, None] - ang2[None, :]) % jnp.pi
+    d_ang = jnp.minimum(d_ang, jnp.pi - d_ang)
+
+    D = hamming.distance_matrix(ms.kf_ln_desc[k_new], ms.kf_ln_desc[k_ref])
+    mask = free1[:, None] & free2[None, :] & (d_ang < angle_tol)
+    idx2, best, second = hamming.masked_best2(D, mask)
+    ok = (best <= max_dist) & (
+        best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    Dm = jnp.where(mask, D, hamming.INVALID)
+    rev = jnp.argmin(Dm, axis=0)
+    ok = ok & (rev[idx2] == jnp.arange(M))
+
+    # triangulate: view-1 endpoint rays x view-2 back-projected plane
+    uv2m = uv2[idx2]
+    Xa, Xb, da, db = tri.triangulate_line_two_view(
+        cam, T1, T2, uv1[:, 0], uv1[:, 1], uv2m[:, 0], uv2m[:, 1])
+    finite = jnp.all(jnp.isfinite(Xa), -1) & jnp.all(jnp.isfinite(Xb), -1)
+
+    # epipolar/parallax degeneracy: angle between the two back-projected
+    # planes' normals must exceed ~1 deg (cf the |cos|>0.998 gates,
+    # src/Initializer.cc:1255, src/LocalMapping.cc:1078)
+    l1 = tri.line_from_endpoints_2d(uv1[:, 0], uv1[:, 1])
+    l2 = tri.line_from_endpoints_2d(uv2m[:, 0], uv2m[:, 1])
+    n1 = tri.backproject_plane(cam, T1, l1)[:, :3]
+    n2 = tri.backproject_plane(cam, T2, l2)[:, :3]
+    cosn = jnp.abs(jnp.sum(n1 * n2, -1)) / jnp.maximum(
+        jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), 1e-9)
+    nondegenerate = cosn < 0.9998
+
+    # cheirality in both views + endpoint reprojection onto observed lines
+    def reproj_line_err(T, l, Xa, Xb):
+        Pa = se3.transform(T, Xa)
+        Pb = se3.transform(T, Xb)
+        za, zb = Pa[:, 2], Pb[:, 2]
+
+        def px(Q):
+            iz = 1.0 / jnp.maximum(Q[:, 2], 1e-6)
+            return jnp.stack([cam.fx * Q[:, 0] * iz + cam.cx,
+                              cam.fy * Q[:, 1] * iz + cam.cy], -1)
+
+        qa, qb = px(Pa), px(Pb)
+        ea = jnp.abs(l[:, 0] * qa[:, 0] + l[:, 1] * qa[:, 1] + l[:, 2])
+        eb = jnp.abs(l[:, 0] * qb[:, 0] + l[:, 1] * qb[:, 1] + l[:, 2])
+        return jnp.maximum(ea, eb), (za > 0) & (zb > 0)
+
+    e1, chei1 = reproj_line_err(T1, l1, Xa, Xb)
+    e2, chei2 = reproj_line_err(T2, l2, Xa, Xb)
+
+    # reasonable extent (reject near-infinite endpoints from parallel
+    # planes). Scale-aware: compare against the median depth of the map's
+    # valid points (the init normalizes it to ~1).
+    seg_len = jnp.linalg.norm(Xb - Xa, axis=-1)
+    c1 = se3.se3_inv(T1)[:3, 3]
+    d_mid = jnp.linalg.norm(0.5 * (Xa + Xb) - c1, axis=-1)
+    pt_d = jnp.linalg.norm(ms.pt_xyz - c1, axis=-1)
+    scene_d = jnp.median(jnp.where(ms.pt_valid, pt_d, jnp.nan))
+    scene_d = jnp.nan_to_num(scene_d, nan=1.0)
+    sane = (seg_len < 3.0 * scene_d) & (d_mid < 10.0 * scene_d)
+
+    create = (ok & finite & nondegenerate & chei1 & chei2
+              & (e1 < 4.0) & (e2 < 4.0) & (da > 0) & (db > 0) & sane)
+
+    slots, accepted, n_ln_new = mstate.append_slots(ms.n_ln, create, Lc)
+    a = accepted
+    ln_pair = jnp.stack([Xa, Xb], axis=1)  # (M, 2, 3)
+    ms = ms._replace(
+        ln_xyz=ms.ln_xyz.at[slots].set(
+            jnp.where(a[:, None, None], ln_pair, ms.ln_xyz[slots])),
+        ln_desc=ms.ln_desc.at[slots].set(
+            jnp.where(a[:, None], ms.kf_ln_desc[k_new], ms.ln_desc[slots])),
+        ln_valid=ms.ln_valid.at[slots].set(jnp.where(a, True, ms.ln_valid[slots])),
+        ln_first_kf=ms.ln_first_kf.at[slots].set(
+            jnp.where(a, k_new, ms.ln_first_kf[slots])),
+        ln_n_obs=ms.ln_n_obs.at[slots].set(jnp.where(a, 2, ms.ln_n_obs[slots])),
+        ln_visible=ms.ln_visible.at[slots].set(jnp.where(a, 1, ms.ln_visible[slots])),
+        ln_found=ms.ln_found.at[slots].set(jnp.where(a, 1, ms.ln_found[slots])),
+        n_ln=n_ln_new,
+    )
+    lid = jnp.where(a, slots.astype(jnp.int32), -1)
+    row_new = jnp.where(a, lid, ms.kf_ln_idx[k_new])
+    ms = ms._replace(kf_ln_idx=ms.kf_ln_idx.at[k_new].set(row_new))
+    row_ref = ms.kf_ln_idx[k_ref].at[idx2].set(
+        jnp.where(a, lid, ms.kf_ln_idx[k_ref][idx2]))
+    return ms._replace(kf_ln_idx=ms.kf_ln_idx.at[k_ref].set(row_ref))
+
+
 def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
-                 p_ba: int = 4096) -> MapState:
-    """Local BA over the last `window` keyframes (`LocalBundleAdjustmentWithLine`
-    minus lines for now): oldest window slot fixed as gauge, points observed
-    by the window selected up to `p_ba` slots, outlier observations erased."""
+                 p_ba: int = 4096, l_ba: int = 512) -> MapState:
+    """Local BA over the last `window` keyframes
+    (`LocalBundleAdjustmentWithLine`, `src/Optimizer.cc:1645`): the two
+    oldest window slots are fixed (pinning the monocular scale gauge — one
+    fixed camera leaves an exact scale-about-its-center null direction),
+    points and lines observed by the window are selected into fixed-size BA
+    slots, outlier observations erased afterward."""
     K_all = ms.kf_T.shape[0]
     P = ms.pt_xyz.shape[0]
     N = ms.kf_uv.shape[1]
@@ -201,8 +335,10 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
     kf_ok = (ids >= 0) & (ids < K_all)
     ids_c = jnp.clip(ids, 0, K_all - 1)
     kf_mask = kf_ok & ms.kf_valid[ids_c]
-    first_valid = jnp.argmax(kf_mask)            # oldest valid in window
-    kf_fixed = (jnp.arange(W) == first_valid)
+    # fix the two oldest valid slots: 2 fixed cameras pin the scale gauge
+    first_valid = jnp.argmax(kf_mask)
+    second_valid = jnp.argmax(kf_mask & (jnp.arange(W) != first_valid))
+    kf_fixed = (jnp.arange(W) == first_valid) | (jnp.arange(W) == second_valid)
 
     # --- select points observed by the window ---
     win_pt_idx = ms.kf_pt_idx[ids_c]             # (W, N)
@@ -232,7 +368,33 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
     obs_mask = jnp.zeros((W, p_ba), bool)
     obs_mask = jax.vmap(lambda o, s, h: o.at[s].max(h))(obs_mask, slot_safe, has)
 
-    eln = local_ba.BAProblem.empty_lines(W)
+    # --- select lines observed by the window (same scheme as points) ---
+    Lc = ms.ln_valid.shape[0]
+    Mf = ms.kf_ln_valid.shape[1]
+    win_ln_idx = ms.kf_ln_idx[ids_c]              # (W, Mf)
+    win_ln_obs = (win_ln_idx >= 0) & kf_mask[:, None]
+    lid_safe = jnp.clip(win_ln_idx, 0, Lc - 1)
+    l_observed = jnp.zeros((Lc,), bool)
+    l_observed = l_observed.at[lid_safe.reshape(-1)].max(win_ln_obs.reshape(-1))
+    l_observed = l_observed & ms.ln_valid
+    l_scores = jnp.where(l_observed, jnp.arange(Lc, dtype=jnp.int32), -1)
+    _, lsel = jax.lax.top_k(l_scores, l_ba)
+    lsel_ok = l_observed[lsel]
+    l_lookup = jnp.full((Lc,), -1, jnp.int32).at[lsel].set(
+        jnp.where(lsel_ok, jnp.arange(l_ba, dtype=jnp.int32), -1))
+
+    l_slot = jnp.where(win_ln_obs, l_lookup[lid_safe], -1)  # (W, Mf)
+    l_has = l_slot >= 0
+    l_slot_safe = jnp.clip(l_slot, 0, l_ba - 1)
+    ln_obs_l2d = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, -1e9], jnp.float32), (W, l_ba, 3))
+    ln_obs_l2d = jax.vmap(lambda o, s, u, h: o.at[s].set(
+        jnp.where(h[:, None], u, o[s])))(ln_obs_l2d, l_slot_safe,
+                                         ms.kf_ln_l2d[ids_c], l_has)
+    ln_obs_mask = jnp.zeros((W, l_ba), bool)
+    ln_obs_mask = jax.vmap(lambda o, s, h: o.at[s].max(h))(
+        ln_obs_mask, l_slot_safe, l_has)
+
     prob = local_ba.BAProblem(
         kf_T=ms.kf_T[ids_c],
         kf_fixed=kf_fixed | ~kf_mask,
@@ -242,15 +404,31 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
         obs_uv=obs_uv,
         obs_mask=obs_mask,
         obs_sigma2=obs_s2,
-        **eln,
+        ln_xyz=ms.ln_xyz[lsel],
+        ln_mask=lsel_ok,
+        ln_obs_l2d=ln_obs_l2d,
+        ln_obs_mask=ln_obs_mask,
     )
     res = local_ba.bundle_adjust(prob, cam)
 
-    # --- write back poses + points ---
+    # --- write back poses + points + lines ---
     new_kf_T = ms.kf_T.at[ids_c].set(
         jnp.where(kf_mask[:, None, None], res.kf_T, ms.kf_T[ids_c]))
     new_pt = ms.pt_xyz.at[sel].set(
         jnp.where(sel_ok[:, None], res.pt_xyz, ms.pt_xyz[sel]))
+    # The endpoint-to-infinite-line residual leaves each endpoint's
+    # along-line direction unconstrained (an exact null space); LM noise
+    # slides endpoints off to infinity. Keep the OPTIMIZED infinite line but
+    # re-pin each endpoint at the closest point to its pre-BA position.
+    old_ln = ms.ln_xyz[lsel]                       # (l_ba, 2, 3)
+    new_a, new_b = res.ln_xyz[:, 0], res.ln_xyz[:, 1]
+    d = new_b - new_a
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    ta = jnp.sum((old_ln[:, 0] - new_a) * d, axis=-1)
+    tb = jnp.sum((old_ln[:, 1] - new_a) * d, axis=-1)
+    pinned = jnp.stack([new_a + ta[:, None] * d, new_a + tb[:, None] * d], axis=1)
+    new_ln = ms.ln_xyz.at[lsel].set(
+        jnp.where(lsel_ok[:, None, None], pinned, ms.ln_xyz[lsel]))
 
     # --- erase outlier observations (src/Optimizer.cc:2044-2067) ---
     obs_bad = obs_mask & ~res.obs_inlier          # (W, p_ba)
@@ -258,8 +436,14 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
     new_rows = jnp.where(bad_here, -1, win_pt_idx)
     new_kf_pt_idx = ms.kf_pt_idx.at[ids_c].set(
         jnp.where(kf_mask[:, None], new_rows, ms.kf_pt_idx[ids_c]))
+    l_obs_bad = ln_obs_mask & ~res.ln_obs_inlier
+    l_bad_here = l_has & jax.vmap(lambda b, s: b[s])(l_obs_bad, l_slot_safe)
+    l_new_rows = jnp.where(l_bad_here, -1, win_ln_idx)
+    new_kf_ln_idx = ms.kf_ln_idx.at[ids_c].set(
+        jnp.where(kf_mask[:, None], l_new_rows, ms.kf_ln_idx[ids_c]))
 
-    ms = ms._replace(kf_T=new_kf_T, pt_xyz=new_pt, kf_pt_idx=new_kf_pt_idx)
+    ms = ms._replace(kf_T=new_kf_T, pt_xyz=new_pt, ln_xyz=new_ln,
+                     kf_pt_idx=new_kf_pt_idx, kf_ln_idx=new_kf_ln_idx)
     # refresh n_obs for selected points from global incidence
     inc = mstate.observers_of_points(ms)
     return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
@@ -280,4 +464,16 @@ def cull_points(ms: MapState, k_now) -> MapState:
     P = ms.pt_xyz.shape[0]
     safe = jnp.clip(ms.kf_pt_idx, 0, P - 1)
     kf_pt_idx = jnp.where((ms.kf_pt_idx >= 0) & bad[safe], -1, ms.kf_pt_idx)
-    return ms._replace(pt_valid=pt_valid, kf_pt_idx=kf_pt_idx)
+
+    # lines: same probation rules (`MapLineCulling`, src/LocalMapping.cc:287)
+    l_age = k_now - ms.ln_first_kf
+    l_ratio = ms.ln_found.astype(jnp.float32) / jnp.maximum(
+        ms.ln_visible.astype(jnp.float32), 1.0)
+    l_bad = ms.ln_valid & (l_age < 3) & (
+        (l_ratio < 0.1) | ((l_age >= 2) & (ms.ln_n_obs <= 2)))
+    ln_valid = ms.ln_valid & ~l_bad
+    Lc = ms.ln_valid.shape[0]
+    l_safe = jnp.clip(ms.kf_ln_idx, 0, Lc - 1)
+    kf_ln_idx = jnp.where((ms.kf_ln_idx >= 0) & l_bad[l_safe], -1, ms.kf_ln_idx)
+    return ms._replace(pt_valid=pt_valid, kf_pt_idx=kf_pt_idx,
+                       ln_valid=ln_valid, kf_ln_idx=kf_ln_idx)

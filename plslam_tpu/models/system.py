@@ -25,6 +25,7 @@ from ..geometry import camera as cam_mod, se3
 from ..mapstate import state as mstate
 from ..models import mapping, tracking
 from ..ops import extract
+from ..ops import lines as line_ops
 from ..solvers import twoview
 from ..optim import local_ba
 
@@ -63,6 +64,11 @@ class SLAMConfig:
     kf_ref_ratio: float = 0.9
     ba_window: int = 8
     ba_points: int = 4096
+    ba_lines: int = 256
+    use_lines: bool = True
+    track_line_info: float = 0.25  # line-edge weight in pose optimization
+    use_loop_closing: bool = True
+    localization_only: bool = False  # ActivateLocalizationMode equivalent
     seed: int = 0
 
     @staticmethod
@@ -84,7 +90,9 @@ class SLAMConfig:
             k3=g("Camera.k3", 0.0),
             width=int(g("Camera.width", 640)), height=int(g("Camera.height", 480)),
             fps=g("Camera.fps", 30.0),
-            n_features=int(g("ORBextractor.nFeatures", 1000)) if False else 1024,
+            # round the YAML budget (1000 in the reference configs) up to a
+            # multiple of 256 — static shapes want aligned sizes
+            n_features=-(-int(g("ORBextractor.nFeatures", 1000)) // 256) * 256,
             n_levels=int(g("ORBextractor.nLevels", 8)),
             scale_factor=g("ORBextractor.scaleFactor", 1.2),
             th_fast_high=g("ORBextractor.iniThFAST", 20.0),
@@ -123,7 +131,8 @@ class System:
         self._track = jit(partial(
             tracking.track_local_map, cam,
             scale_factors=self.scale_factors, sigma2_levels=self.sigma2,
-            n_levels=config.n_levels, scale=config.scale_factor))
+            n_levels=config.n_levels, scale=config.scale_factor,
+            line_info=config.track_line_info))
         self._update_stats = jit(tracking.update_point_stats)
         self._match_frames = jit(tracking.match_frames)
         self._init_two_view = jit(partial(twoview.initialize_two_view, K=jnp.asarray(np.asarray(cam.K))))
@@ -132,10 +141,23 @@ class System:
         self._create_points = jit(partial(
             mapping.create_new_points, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors))
+        self._create_lines = jit(partial(mapping.create_new_lines, cam))
         self._local_ba = jit(partial(
             mapping.run_local_ba, cam, sigma2_levels=self.sigma2,
-            window=config.ba_window, p_ba=config.ba_points))
+            window=config.ba_window, p_ba=config.ba_points,
+            l_ba=config.ba_lines))
         self._cull = jit(mapping.cull_points)
+        self._relocalize = jit(partial(
+            tracking.relocalize, cam, sigma2_levels=self.sigma2))
+        # full-map BA for loop closure / global BA
+        self._global_ba = jit(partial(
+            mapping.run_local_ba, cam, sigma2_levels=self.sigma2,
+            window=config.max_kf, p_ba=config.ba_points,
+            l_ba=config.ba_lines))
+        from ..models.loop_closing import LoopClosing
+        self.loop_closer = LoopClosing(
+            cam, self.map_cfg, self.sigma2, self._global_ba,
+            use_jit=use_jit, fix_scale=False) if config.use_loop_closing else None
 
         self.reset()
 
@@ -150,6 +172,7 @@ class System:
         self.last_kf_frame = -1
         self.ref_kf_matches = 0
         self._init_feats = None
+        self._init_lfeats = None
         self._init_frame_id = -1
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.kf_timestamps: list[float] = []
@@ -160,7 +183,18 @@ class System:
     def _extract_impl(self, img):
         feats = extract.extract_points(img, self.ext_cfg)
         uv_un = cam_mod.undistort_pixels(self.cam, feats.uv)
-        return feats._replace(uv_un=uv_un)
+        feats = feats._replace(uv_un=uv_un)
+        if self.cfg.use_lines:
+            lf = line_ops.detect_lines(img, n_out=self.cfg.n_lf)
+            # undistort endpoints, refresh the infinite-line equation
+            ua = cam_mod.undistort_pixels(self.cam, lf.uv_a)
+            ub = cam_mod.undistort_pixels(self.cam, lf.uv_b)
+            from ..geometry import triangulation as _tri
+            lf = lf._replace(uv_a=ua, uv_b=ub,
+                             l2d=_tri.line_from_endpoints_2d(ua, ub))
+        else:
+            lf = None
+        return feats, lf
 
     # ------------------------------------------------------------------
     def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
@@ -170,21 +204,22 @@ class System:
         t0 = time.perf_counter()
         self.frame_id += 1
         img = jnp.asarray(img, jnp.float32)
-        feats = self._extract(img)
+        feats, lfeats = self._extract(img)
 
         if self.state == NOT_INITIALIZED:
-            T = self._try_initialize(feats, timestamp)
+            T = self._try_initialize(feats, lfeats, timestamp)
         else:
-            T = self._track_frame(feats, timestamp)
+            T = self._track_frame(feats, lfeats, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return T
 
     # ------------------------------------------------------------------
-    def _try_initialize(self, feats, timestamp):
+    def _try_initialize(self, feats, lfeats, timestamp):
         n_valid = int(jnp.sum(feats.valid))
         if self._init_feats is None or n_valid < self.cfg.min_init_matches:
             if n_valid >= self.cfg.min_init_matches:
                 self._init_feats = feats
+                self._init_lfeats = lfeats
                 self._init_frame_id = self.frame_id
                 self._init_ts = timestamp
             return None
@@ -194,6 +229,7 @@ class System:
         if n_matches < self.cfg.min_init_matches:
             # too few matches: make the current frame the new anchor
             self._init_feats = feats
+            self._init_lfeats = lfeats
             self._init_frame_id = self.frame_id
             self._init_ts = timestamp
             return None
@@ -204,15 +240,15 @@ class System:
         if not bool(res.success):
             return None
 
-        self._create_initial_map(feats, idx2, res, timestamp)
+        self._create_initial_map(feats, lfeats, idx2, res, timestamp)
         self.state = OK
         T = np.asarray(self.ms.kf_T[1])
         self.trajectory.append((timestamp, T))
         return T
 
     # ------------------------------------------------------------------
-    def _create_initial_map(self, feats, idx2, res: twoview.TwoViewResult,
-                            timestamp):
+    def _create_initial_map(self, feats, lfeats, idx2,
+                            res: twoview.TwoViewResult, timestamp):
         """`CreateInitialMapMonoWithLine` (`src/Tracking.cc:942`) minus lines:
         two keyframes, triangulated points normalized to unit median depth,
         then a full BA over the window."""
@@ -234,13 +270,15 @@ class System:
         f1 = self._init_feats
         matched1 = jnp.asarray(pid)
         ms = self._insert_kf(self.ms, f1, jnp.eye(4), matched1,
-                             jnp.int32(self._init_frame_id))
+                             jnp.int32(self._init_frame_id),
+                             lfeats=self._init_lfeats, matched_ln=None)
         # second KF: same points observed at idx2 slots
         pid2 = np.full(N, -1, np.int32)
         idx2_np = np.asarray(idx2)
         pid2[idx2_np[good]] = pid[good]
         ms = self._insert_kf(ms, feats, jnp.asarray(T2), jnp.asarray(pid2),
-                             jnp.int32(self.frame_id))
+                             jnp.int32(self.frame_id),
+                             lfeats=lfeats, matched_ln=None)
 
         # write landmark geometry (insert_kf only binds observations)
         sel = np.nonzero(good)[0]
@@ -266,6 +304,10 @@ class System:
             pt_visible=ms.pt_visible.at[ids].set(2),
             pt_found=ms.pt_found.at[ids].set(2),
         )
+        if self.cfg.use_lines:
+            # triangulate initial map lines between the two init keyframes
+            # (CreateInitialMapMonoWithLine, src/Tracking.cc:942)
+            ms = self._create_lines(ms, jnp.int32(1), jnp.int32(0))
         self.ms = self._local_ba(ms)
 
         self.T_last = self.ms.kf_T[1]
@@ -276,16 +318,25 @@ class System:
         self.trajectory.append((self._init_ts, np.eye(4)))
 
     # ------------------------------------------------------------------
-    def _track_frame(self, feats, timestamp):
+    def _track_frame(self, feats, lfeats, timestamp):
         T_pred = self.velocity @ self.T_last
-        res = self._track(self.ms, feats, T_pred)
+        res = self._track(self.ms, feats, T_pred, lfeats=lfeats)
         n_inl = int(res.n_inliers)
 
         if n_inl < self.cfg.min_track_inliers:
             self.state = LOST
-            # keep constant-velocity dead reckoning; relocalization arrives
-            # with the place-recognition stage
-            T = T_pred
+            # relocalization: global match + RANSAC PnP + LM refinement
+            rok, rT, rn = self._relocalize(
+                self.ms, feats, key=jax.random.PRNGKey(self.cfg.seed + self.frame_id))
+            if bool(rok):
+                self.state = OK
+                self.velocity = jnp.eye(4)
+                self.T_last = rT
+                self.trajectory.append((timestamp, np.asarray(rT)))
+                self.stats.append({"inliers": int(rn), "kf": False,
+                                   "lost": False, "reloc": True})
+                return np.asarray(rT)
+            T = T_pred  # dead-reckon until relocalized
             self.trajectory.append((timestamp, np.asarray(T)))
             self.T_last = T
             self.stats.append({"inliers": n_inl, "kf": False, "lost": True})
@@ -307,13 +358,16 @@ class System:
         self.velocity = se3.se3_exp(gamma * vel_twist)
         self.T_last = T
 
-        made_kf = self._maybe_keyframe(feats, res, timestamp)
+        made_kf = False if self.cfg.localization_only else \
+            self._maybe_keyframe(feats, lfeats, res, timestamp)
         self.trajectory.append((timestamp, np.asarray(T)))
-        self.stats.append({"inliers": n_inl, "kf": made_kf, "lost": False})
+        self.stats.append({"inliers": n_inl, "kf": made_kf, "lost": False,
+                           "line_inliers": int(res.n_ln_inliers)})
         return np.asarray(T)
 
     # ------------------------------------------------------------------
-    def _maybe_keyframe(self, feats, res: tracking.TrackResult, timestamp) -> bool:
+    def _maybe_keyframe(self, feats, lfeats, res: tracking.TrackResult,
+                        timestamp) -> bool:
         """`NeedNewKeyFrame` (`src/Tracking.cc:1568`) policy, single-thread
         form: enough frames elapsed AND tracking weakening vs the reference
         keyframe (or a hard max interval)."""
@@ -330,14 +384,31 @@ class System:
 
         k_new = n_kf
         ms = self._insert_kf(self.ms, feats, res.T, res.matched_pt,
-                             jnp.int32(self.frame_id))
+                             jnp.int32(self.frame_id),
+                             lfeats=lfeats, matched_ln=res.matched_ln)
         # triangulate vs previous keyframe, then the one before (3-view span)
         ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 1))
         if k_new >= 2:
             ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 2))
+        if self.cfg.use_lines and lfeats is not None:
+            # multiple baselines: consecutive KFs rarely give lines enough
+            # plane parallax (the reference matches against its top-10
+            # covisible KFs, src/LocalMapping.cc:961)
+            ms = self._create_lines(ms, jnp.int32(k_new), jnp.int32(k_new - 1))
+            for back in (2, 3):
+                if k_new >= back:
+                    ms = self._create_lines(ms, jnp.int32(k_new),
+                                            jnp.int32(k_new - back))
         ms = self._local_ba(ms)
         ms = self._cull(ms, jnp.int32(k_new))
         self.ms = ms
+        if self.loop_closer is not None:
+            self.ms, closed = self.loop_closer.process_keyframe(
+                self.ms, k_new, seed=self.cfg.seed)
+            if closed:
+                # loop correction moved the map: re-anchor tracking
+                self.T_last = self.ms.kf_T[k_new]
+                self.velocity = jnp.eye(4)
         self.last_kf_frame = self.frame_id
         self.ref_kf_matches = int(jnp.sum(res.matched_pt >= 0))
         self.kf_timestamps.append(timestamp)
@@ -346,6 +417,13 @@ class System:
     # ------------------------------------------------------------------
     def shutdown(self):
         """`System::Shutdown` — no threads to join; provided for API parity."""
+
+    def activate_localization_mode(self):
+        """`System::ActivateLocalizationMode` (`include/System.h:79`)."""
+        self.cfg.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.cfg.localization_only = False
 
     def n_map_points(self) -> int:
         return int(jnp.sum(self.ms.pt_valid))

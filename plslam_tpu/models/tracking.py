@@ -34,6 +34,10 @@ class TrackResult(NamedTuple):
     n_inliers: jnp.ndarray    # () i32
     n_visible: jnp.ndarray    # () i32
     visible_pts: jnp.ndarray  # (P,) bool (for found/visible statistics)
+    matched_ln: jnp.ndarray   # (M,) i32 map-line id per line feature (-1)
+    ln_inlier: jnp.ndarray    # (M,) bool
+    n_ln_inliers: jnp.ndarray  # () i32
+    visible_lns: jnp.ndarray  # (L,) bool
 
 
 def predict_scale(dist, max_dist, scale: float, n_levels: int):
@@ -84,9 +88,61 @@ def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
     return best_idx, matched, visible
 
 
+def _match_lines_against_map(cam, ms: MapState, lfeats, T,
+                             radius: float = 10.0, angle_tol: float = 0.29,
+                             max_dist: int = 80):
+    """Project map lines and match frame line features — the
+    `LSDmatcher::SearchByProjection` local-map path (`src/LSDmatcher.cpp:
+    221-338`): angle agreement (cos >= 0.96), midpoint window, length-ratio
+    gate, Hamming <= TH_HIGH(80)."""
+    A = ms.ln_xyz[:, 0]
+    B = ms.ln_xyz[:, 1]
+    Ac = se3.transform(T, A)
+    Bc = se3.transform(T, B)
+    za, zb = Ac[:, 2], Bc[:, 2]
+
+    def proj(Xc):
+        iz = 1.0 / jnp.maximum(Xc[:, 2], 1e-6)
+        return jnp.stack([cam.fx * Xc[:, 0] * iz + cam.cx,
+                          cam.fy * Xc[:, 1] * iz + cam.cy], -1)
+
+    ua = proj(Ac)
+    ub = proj(Bc)
+    mid = 0.5 * (ua + ub)
+    in_img = ((mid[:, 0] >= 0) & (mid[:, 0] < cam.width)
+              & (mid[:, 1] >= 0) & (mid[:, 1] < cam.height))
+    visible = ms.ln_valid & (za > 0) & (zb > 0) & in_img
+
+    proj_angle = jnp.arctan2(ub[:, 1] - ua[:, 1], ub[:, 0] - ua[:, 0]) % jnp.pi
+    proj_len = jnp.linalg.norm(ub - ua, axis=-1)
+
+    lf_mid = 0.5 * (lfeats.uv_a + lfeats.uv_b)
+    d_ang = jnp.abs(lfeats.angle[:, None] - proj_angle[None, :]) % jnp.pi
+    d_ang = jnp.minimum(d_ang, jnp.pi - d_ang)
+    # perpendicular distance of the feature midpoint to the projected
+    # infinite line (robust to extent slide along the line), plus an
+    # along-line overlap requirement — the `mutualOverlap` idea of
+    # `src/LSDmatcher.cpp:488-625`.
+    dirs = (ub - ua) / jnp.maximum(proj_len, 1e-6)[:, None]   # (L,2)
+    rel = lf_mid[:, None, :] - mid[None, :, :]                 # (M,L,2)
+    d_perp = jnp.abs(rel[..., 0] * (-dirs[None, :, 1])
+                     + rel[..., 1] * dirs[None, :, 0])
+    d_along = jnp.abs(rel[..., 0] * dirs[None, :, 0]
+                      + rel[..., 1] * dirs[None, :, 1])
+    overlap = d_along < 0.6 * (lfeats.length[:, None] + proj_len[None, :])
+
+    mask = (visible[None, :] & lfeats.valid[:, None] & (d_ang < angle_tol)
+            & (d_perp < radius) & overlap)
+    D = hamming.distance_matrix(lfeats.desc, ms.ln_desc)
+    best_idx, best, _ = hamming.masked_best2(D, mask)
+    matched = best <= max_dist
+    return best_idx, matched, visible
+
+
 def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
-                    scale_factors, sigma2_levels, th: float = 1.0,
-                    n_levels: int = 8, scale: float = 1.2) -> TrackResult:
+                    scale_factors, sigma2_levels, lfeats=None, th: float = 1.0,
+                    n_levels: int = 8, scale: float = 1.2,
+                    line_info: float = 1.0) -> TrackResult:
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
@@ -124,14 +180,38 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
     # fall back to the prediction if the wide stage found too little
     T_mid = jnp.where(res1.n_inliers >= 10, res1.T, T_pred)
 
-    # Stage 2: tight local-map search from the refined pose
+    # Stage 2: tight local-map search from the refined pose, points + lines
+    # jointly optimized (TrackLocalMapWithLines, src/Tracking.cc:1491)
     idx2, m2, visible = _match_against_map(cam, ms, feats, D, T_mid,
                                            scale_factors, th, False,
                                            n_levels, scale)
-    res2 = optimize(T_mid, idx2, m2)
+    if lfeats is not None:
+        lidx, lm, ln_visible = _match_lines_against_map(cam, ms, lfeats, T_mid)
+        L_ends = ms.ln_xyz[lidx]                       # (M, 2, 3)
+        ln_xyz_e = jnp.concatenate([L_ends[:, 0], L_ends[:, 1]])   # (2M, 3)
+        ln_l2d_e = jnp.concatenate([lfeats.l2d, lfeats.l2d])
+        ln_mask_e = jnp.concatenate([lm, lm])
+        # reference uses info=1 (src/Optimizer.cc:802); ours is configurable
+        # because the block-fit line detector has coarser perpendicular noise
+        ln_info_e = jnp.full(ln_mask_e.shape, line_info, jnp.float32)
+        obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
+                                ln_xyz_e, ln_l2d_e, ln_mask_e, ln_info_e)
+    else:
+        M = 1
+        lidx = jnp.zeros((M,), jnp.int32)
+        lm = jnp.zeros((M,), bool)
+        ln_visible = jnp.zeros(ms.ln_valid.shape, bool)
+        obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
+                                *pose_opt.PoseObs.empty_lines(1))
+    res2 = pose_opt.pose_optimize(cam, T_mid, obs2)
 
     inlier = res2.pt_inlier & m2
     matched_pt = jnp.where(inlier, idx2.astype(jnp.int32), -1)
+    M = lm.shape[0]
+    ln_ep_in = res2.ln_inlier[:M] & res2.ln_inlier[M:2 * M] if lfeats is not None \
+        else jnp.zeros((M,), bool)
+    ln_in = lm & ln_ep_in
+    matched_ln = jnp.where(ln_in, lidx.astype(jnp.int32), -1)
     return TrackResult(
         T=res2.T,
         matched_pt=matched_pt,
@@ -139,18 +219,29 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
         n_visible=jnp.sum(visible.astype(jnp.int32)),
         visible_pts=visible,
+        matched_ln=matched_ln,
+        ln_inlier=ln_in,
+        n_ln_inliers=jnp.sum(ln_in.astype(jnp.int32)),
+        visible_lns=ln_visible,
     )
 
 
 def update_point_stats(ms: MapState, result: TrackResult) -> MapState:
-    """Tracking found/visible counters (`MapPoint::IncreaseVisible/Found`,
-    used by the 0.25 found-ratio culling gate)."""
+    """Tracking found/visible counters for points AND lines
+    (`MapPoint::IncreaseVisible/Found`, `MapLine` equivalents — the 0.25
+    found-ratio culling gate inputs)."""
     P = ms.pt_xyz.shape[0]
     vis = ms.pt_visible + result.visible_pts.astype(jnp.int32)
     found_hits = jnp.zeros((P,), jnp.int32).at[
         jnp.clip(result.matched_pt, 0, P - 1)
     ].add((result.matched_pt >= 0).astype(jnp.int32))
-    return ms._replace(pt_visible=vis, pt_found=ms.pt_found + found_hits)
+    L = ms.ln_valid.shape[0]
+    lvis = ms.ln_visible + result.visible_lns.astype(jnp.int32)
+    ln_hits = jnp.zeros((L,), jnp.int32).at[
+        jnp.clip(result.matched_ln, 0, L - 1)
+    ].add((result.matched_ln >= 0).astype(jnp.int32))
+    return ms._replace(pt_visible=vis, pt_found=ms.pt_found + found_hits,
+                       ln_visible=lvis, ln_found=ms.ln_found + ln_hits)
 
 
 def match_frames(feats1: PointFeatures, feats2: PointFeatures,
@@ -177,3 +268,27 @@ def match_frames(feats1: PointFeatures, feats2: PointFeatures,
         dangle = feats1.angle - feats2.angle[idx]
         ok = hamming.rotation_histogram_mask(dangle, ok)
     return idx, ok
+
+
+def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key):
+    """Relocalization from scratch (`Tracking::Relocalization`,
+    `src/Tracking.cc:2083`): global ratio-test matching of frame descriptors
+    against ALL map points (subsuming the BoW-candidate narrowing — the full
+    Hamming matrix is one MXU matmul), vmapped RANSAC PnP, then staged-LM
+    refinement. Returns (ok, T, n_inliers)."""
+    from ..solvers import pnp as pnp_mod
+
+    D = hamming.distance_matrix(feats.desc, ms.pt_desc)
+    mask = feats.valid[:, None] & ms.pt_valid[None, :]
+    idx, best, second = hamming.masked_best2(D, mask)
+    ok = (best <= TH_LOW) & (
+        best.astype(jnp.float32) < 0.75 * second.astype(jnp.float32))
+
+    s2 = sigma2_levels[feats.octave]
+    res = pnp_mod.ransac_pnp(key, ms.pt_xyz[idx], feats.uv_un, ok, cam, s2)
+
+    obs = pose_opt.PoseObs(ms.pt_xyz[idx], feats.uv_un, s2, ok,
+                           *pose_opt.PoseObs.empty_lines(1))
+    out = pose_opt.pose_optimize(cam, res.T, obs)
+    good = out.pt_inlier & ok
+    return res.ok & (out.n_inliers >= 15), out.T, jnp.sum(good.astype(jnp.int32))

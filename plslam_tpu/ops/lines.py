@@ -283,11 +283,16 @@ def lbd_descriptor(gx, gy, uv_a, uv_b):
     dpar = d / L                                  # (M,2) along-line unit
     dperp = jnp.stack([-dpar[:, 1], dpar[:, 0]], -1)
 
-    t = (jnp.arange(N_SAMPLES, dtype=jnp.float32) + 0.5) / N_SAMPLES  # (S,)
+    # Sample a FIXED-length window centered at the segment midpoint (not the
+    # full detected extent): chain-extent instability across frames would
+    # otherwise misalign the band samples and wreck repeatability.
+    win = jnp.minimum(L[:, 0], 64.0)                    # (M,)
+    t = (jnp.arange(N_SAMPLES, dtype=jnp.float32) + 0.5) / N_SAMPLES - 0.5  # (S,) in [-.5,.5)
     bands = (jnp.arange(N_BANDS, dtype=jnp.float32) - (N_BANDS - 1) / 2.0) * BAND_W
 
-    # sample positions: a + t*(b-a) + band*perp  -> (M, B, S, 2)
-    base = uv_a[:, None, None, :] + t[None, None, :, None] * d[:, None, None, :]
+    mid = 0.5 * (uv_a + uv_b)
+    base = (mid[:, None, None, :]
+            + (t[None, None, :, None] * win[:, None, None, None]) * dpar[:, None, None, :])
     pos = base + bands[None, :, None, None] * dperp[:, None, None, :]
     px = jnp.clip(pos[..., 0], 0, W - 2)
     py = jnp.clip(pos[..., 1], 0, H - 2)

@@ -32,6 +32,9 @@ from . import residuals
 
 CHI2_POINT = 5.991
 CHI2_LINE = 3.84  # per endpoint residual
+# max landmark move per LM iteration, in map units (mono maps are
+# median-depth-normalized to ~1 by the initializer)
+LANDMARK_MAX_STEP = 0.25
 
 
 class BAProblem(NamedTuple):
@@ -176,6 +179,14 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust):
                     bl - jnp.einsum("kleab,ka->leb", Hcl, dc))
     dp = dp * pt_free[:, None]
     dl = dl * ln_free[:, None, None]
+    # Per-landmark trust region: near-singular landmark blocks (e.g. a line
+    # endpoint seen in 2 nearly-coplanar views) otherwise launch landmarks
+    # to infinity along their weakly-observed directions.
+    def clamp(d, max_step):
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return d * jnp.minimum(1.0, max_step / jnp.maximum(n, 1e-12))
+    dp = clamp(dp, LANDMARK_MAX_STEP)
+    dl = clamp(dl, LANDMARK_MAX_STEP)
 
     kf_T_new = se3.se3_exp(dc) @ kf_T
     kf_T_new = jnp.where((prob.kf_mask & ~prob.kf_fixed)[:, None, None],

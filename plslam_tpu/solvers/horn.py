@@ -1,0 +1,86 @@
+"""Vmapped Horn absolute-orientation + Sim3 RANSAC.
+
+TPU-native replacement for `Sim3Solver` (`src/Sim3Solver.cc`: 3-point
+RANSAC, Horn 1987 closed form via quaternion eigendecomposition, projection
+inlier checks in both images). Here the closed form uses the SVD variant
+(equivalent), all hypotheses solved/scored in parallel.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.sim3 import Sim3
+
+CHI2 = 9.21  # per-image gate, src/Sim3Solver.cc:87-88
+
+
+def horn_sim3(A, B, fix_scale: bool = False) -> Sim3:
+    """Closed-form similarity A->B from paired points (...,n,3)."""
+    ca = A.mean(axis=-2, keepdims=True)
+    cb = B.mean(axis=-2, keepdims=True)
+    A0 = A - ca
+    B0 = B - cb
+    H = jnp.einsum("...ni,...nj->...ij", B0, A0)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    D = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], -1)
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
+    if fix_scale:
+        s = jnp.ones(A.shape[:-2])
+    else:
+        num = jnp.sum(S * D, axis=-1)
+        den = jnp.sum(A0 * A0, axis=(-1, -2))
+        s = num / jnp.maximum(den, 1e-12)
+    t = cb[..., 0, :] - s[..., None] * jnp.einsum("...ij,...j->...i", R, ca[..., 0, :])
+    return Sim3(s, R, t)
+
+
+class Sim3RansacResult(NamedTuple):
+    ok: jnp.ndarray
+    S12: Sim3              # maps frame-2 coords into frame-1 coords
+    inliers: jnp.ndarray   # (N,) bool
+    n_inliers: jnp.ndarray
+
+
+def ransac_sim3(key, X1, X2, uv1, uv2, mask, cam, sigma2_1=None, sigma2_2=None,
+                n_iters: int = 256, min_inliers: int = 20,
+                fix_scale: bool = False) -> Sim3RansacResult:
+    """X1/X2: (N,3) camera-frame positions of matched landmarks in KF1/KF2;
+    uv1/uv2: their observed pixels. Finds S12 with X1 ~ S12(X2), inliers by
+    reprojection in BOTH images (`CheckInliers`, `src/Sim3Solver.cc:340`).
+    """
+    N = X1.shape[0]
+    if sigma2_1 is None:
+        sigma2_1 = jnp.ones((N,))
+    if sigma2_2 is None:
+        sigma2_2 = jnp.ones((N,))
+
+    g = jax.random.gumbel(key, (n_iters, N))
+    g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, sets = jax.lax.top_k(g, 3)
+
+    S12s = jax.vmap(lambda idx: horn_sim3(X2[idx], X1[idx], fix_scale))(sets)
+    S21s = jax.vmap(lambda idx: horn_sim3(X1[idx], X2[idx], fix_scale))(sets)
+
+    def project(cam, Xc):
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        return jnp.stack([cam.fx * Xc[..., 0] / z + cam.cx,
+                          cam.fy * Xc[..., 1] / z + cam.cy], -1)
+
+    def score(S12, S21):
+        X2in1 = S12.s * X2 @ S12.R.T + S12.t
+        X1in2 = S21.s * X1 @ S21.R.T + S21.t
+        e1 = jnp.sum((project(cam, X2in1) - uv1) ** 2, -1) / sigma2_1
+        e2 = jnp.sum((project(cam, X1in2) - uv2) ** 2, -1) / sigma2_2
+        good = mask & (e1 < CHI2) & (e2 < CHI2)
+        return jnp.sum(good.astype(jnp.int32)), good
+
+    n_good, goods = jax.vmap(score)(S12s, S21s)
+    best = jnp.argmax(n_good)
+    S12 = Sim3(S12s.s[best], S12s.R[best], S12s.t[best])
+    n = n_good[best]
+    return Sim3RansacResult(ok=n >= min_inliers, S12=S12,
+                            inliers=goods[best], n_inliers=n)
