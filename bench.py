@@ -32,16 +32,18 @@ def main():
         k1=0, k2=0, p1=0, p2=0, k3=0,
         n_features=1024, n_levels=8,
         max_kf=24, max_pt=8192, ba_window=6, ba_points=2048,
-        kf_max_interval=6,
+        kf_max_interval=6, async_pipeline=True,
     )
     slam = System(cfg)
 
     # warmup/compile on the first frames (init + first KFs trigger all paths)
+    frames_u8 = [f.astype(np.uint8) for f in frames]
     per_frame = []
-    for i, img in enumerate(frames):
+    for i, img in enumerate(frames_u8):
         t0 = time.perf_counter()
         slam.track_monocular(img, i / 30.0)
         per_frame.append(time.perf_counter() - t0)
+    slam.flush()
 
     # steady-state: tracked frames after init, excluding keyframe frames'
     # first-compile outliers — use the median over the last 2/3

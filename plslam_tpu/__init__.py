@@ -34,3 +34,22 @@ import jax as _jax
 # matmuls (Hamming descriptor search) are int8 and unaffected by this knob.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: compiles in this environment go through a
+# remote service (~30-60s each); caching makes repeat runs start in seconds.
+import os as _os
+
+# keyed by platform: the remote compile service produces AOT artifacts for
+# a different host microarchitecture — mixing them with local-CPU entries
+# triggers feature-mismatch loads (SIGILL risk)
+_platform_tag = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "default"
+_cache_dir = _os.environ.get(
+    "PLSLAM_JAX_CACHE",
+    _os.path.expanduser(f"~/.cache/plslam_jax_{_platform_tag}"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+

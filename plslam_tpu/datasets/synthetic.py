@@ -111,6 +111,13 @@ def trajectory(n_frames: int, kind: str = "orbit", amplitude: float = 1.0):
             xi = amplitude * np.array(
                 [0.0, 0.25 * s, 0.0, 0.3 * np.sin(2 * np.pi * s), 0.0, 3.0 * s],
                 np.float32)
+        elif kind == "loop":
+            # out-and-back sweep: revisits the starting viewpoints in the
+            # second half -> exercises place recognition + loop closure
+            w = np.sin(np.pi * s)
+            xi = amplitude * np.array(
+                [0.02 * w, 0.15 * w, 0.01 * w, 1.6 * w, 0.2 * w, 0.3 * w],
+                np.float32)
         else:
             raise ValueError(kind)
         Ts.append(np.asarray(_se3.se3_exp(jnp.asarray(xi))))

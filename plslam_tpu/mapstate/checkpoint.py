@@ -1,0 +1,32 @@
+"""Map checkpoint/resume — the `SaveMap/LoadMap` the reference left as a
+TODO (`include/System.h:126-128`). Trivial here: the map IS a pytree of
+arrays."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .state import MapState
+
+
+def save_map(ms: MapState, path: str):
+    np.savez_compressed(path, **{f: np.asarray(getattr(ms, f))
+                                 for f in ms._fields})
+
+
+def load_map(path: str) -> MapState:
+    data = np.load(path)
+    return MapState(**{f: jnp.asarray(data[f]) for f in MapState._fields})
+
+
+def save_point_cloud(ms: MapState, path: str):
+    """ASCII PLY of valid map points (`System::SavePointCloud`,
+    `src/System.cc:521`)."""
+    pts = np.asarray(ms.pt_xyz)[np.asarray(ms.pt_valid)]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for p in pts:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")

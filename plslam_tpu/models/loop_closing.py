@@ -47,6 +47,12 @@ class LoopClosing:
         self._local_ba = local_ba_fn  # full-map BA callable(ms) -> ms
         jit = jax.jit if use_jit else (lambda f, **kw: f)
         self._covis = jit(mstate.covisibility)
+        # ONE jitted program for per-keyframe detection inputs (a traced k
+        # keeps it a single compile; eager slicing with python ints would
+        # compile a new program per keyframe id)
+        self._detect_inputs = jit(lambda ms, k: (
+            mstate.covisibility(ms),
+            bow.l1_score(ms.kf_bow[k], ms.kf_bow)))
         self._match_pairs = jit(self._match_pairs_impl)
         self._sim3_stage = jit(self._sim3_stage_impl)
         self._apply_graph = jit(self._apply_graph_impl)
@@ -138,11 +144,11 @@ class LoopClosing:
         """BoW candidates with min-covisible-score + consistency grouping."""
         if k - self.last_loop_kf < 10:  # src/LoopClosing.cc:114
             return []
-        W = np.asarray(self._covis(ms))
+        W, scores = self._detect_inputs(ms, jnp.int32(k))
+        W = np.asarray(W)
+        scores = np.asarray(scores)
         covis = set(np.nonzero(W[k] >= 15)[0].tolist())
-        kf_bows = ms.kf_bow
-        scores = np.asarray(bow.l1_score(ms.kf_bow[k], kf_bows))
-        n_kf = int(ms.n_kf)
+        n_kf = k + 1
         if covis:
             min_score = min(scores[j] for j in covis if j < n_kf)
         else:

@@ -69,6 +69,9 @@ class SLAMConfig:
     track_line_info: float = 0.25  # line-edge weight in pose optimization
     use_loop_closing: bool = True
     localization_only: bool = False  # ActivateLocalizationMode equivalent
+    async_pipeline: bool = False  # defer per-frame decisions by one frame:
+                                  # hides the device->host readback latency
+                                  # behind the next frame's compute
     seed: int = 0
 
     @staticmethod
@@ -169,10 +172,12 @@ class System:
         self.velocity = jnp.eye(4)
         self.T_last = jnp.eye(4)
         self.frame_id = -1
+        self.n_kf_host = 0
         self.last_kf_frame = -1
         self.ref_kf_matches = 0
         self._init_feats = None
         self._init_lfeats = None
+        self._pending = None
         self._init_frame_id = -1
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.kf_timestamps: list[float] = []
@@ -181,6 +186,7 @@ class System:
 
     # ------------------------------------------------------------------
     def _extract_impl(self, img):
+        img = img.astype(jnp.float32)  # uint8 upload, f32 compute
         feats = extract.extract_points(img, self.ext_cfg)
         uv_un = cam_mod.undistort_pixels(self.cam, feats.uv)
         feats = feats._replace(uv_un=uv_un)
@@ -203,7 +209,8 @@ class System:
         empty Mat before init)."""
         t0 = time.perf_counter()
         self.frame_id += 1
-        img = jnp.asarray(img, jnp.float32)
+        # uint8 on the wire: host->device bandwidth is the per-frame floor
+        img = jnp.asarray(np.asarray(img).astype(np.uint8))
         feats, lfeats = self._extract(img)
 
         if self.state == NOT_INITIALIZED:
@@ -312,6 +319,7 @@ class System:
 
         self.T_last = self.ms.kf_T[1]
         self.velocity = jnp.eye(4)
+        self.n_kf_host = 2
         self.last_kf_frame = self.frame_id
         self.ref_kf_matches = n_new
         self.kf_timestamps = [self._init_ts, timestamp]
@@ -319,32 +327,13 @@ class System:
 
     # ------------------------------------------------------------------
     def _track_frame(self, feats, lfeats, timestamp):
+        if self.state == LOST:
+            return self._relocalize_frame(feats, timestamp)
+
         T_pred = self.velocity @ self.T_last
         res = self._track(self.ms, feats, T_pred, lfeats=lfeats)
-        n_inl = int(res.n_inliers)
-
-        if n_inl < self.cfg.min_track_inliers:
-            self.state = LOST
-            # relocalization: global match + RANSAC PnP + LM refinement
-            rok, rT, rn = self._relocalize(
-                self.ms, feats, key=jax.random.PRNGKey(self.cfg.seed + self.frame_id))
-            if bool(rok):
-                self.state = OK
-                self.velocity = jnp.eye(4)
-                self.T_last = rT
-                self.trajectory.append((timestamp, np.asarray(rT)))
-                self.stats.append({"inliers": int(rn), "kf": False,
-                                   "lost": False, "reloc": True})
-                return np.asarray(rT)
-            T = T_pred  # dead-reckon until relocalized
-            self.trajectory.append((timestamp, np.asarray(T)))
-            self.T_last = T
-            self.stats.append({"inliers": n_inl, "kf": False, "lost": True})
-            return np.asarray(T)
-
-        self.state = OK
-        T = res.T
         self.ms = self._update_stats(self.ms, res)
+        T = res.T
         # Damped constant-velocity model: raw velocity extrapolation turns
         # estimator wander in weakly-observable directions (e.g. the
         # rotation/translation valley of a plane-dominated view) into an
@@ -357,23 +346,70 @@ class System:
         vel_twist = se3.se3_log(T @ se3.se3_inv(self.T_last))
         self.velocity = se3.se3_exp(gamma * vel_twist)
         self.T_last = T
+        self.trajectory.append((timestamp, T))  # device array; fetched lazily
 
+        # Decisions (LOST / keyframe) need the inlier counts on the host —
+        # the only device->host readback of the frame. In async mode the
+        # PREVIOUS frame's readback is resolved now, AFTER this frame's
+        # programs were dispatched — its latency hides behind them
+        # (bounded-lag semantics: keyframes are created one frame late from
+        # their stored features).
+        prev = self._pending
+        self._pending = (res, feats, lfeats, timestamp)
+        if self.cfg.async_pipeline:
+            if prev is not None:
+                cur = self._pending
+                self._pending = prev
+                self._resolve_pending()
+                self._pending = cur
+        else:
+            self._resolve_pending()
+        return T
+
+    def _resolve_pending(self):
+        if self._pending is None:
+            return
+        res, feats, lfeats, timestamp = self._pending
+        self._pending = None
+        n_inl, n_ln_inl, n_matched = (int(x) for x in np.asarray(res.scalars))
+
+        if n_inl < self.cfg.min_track_inliers:
+            self.state = LOST
+            self.stats.append({"inliers": n_inl, "kf": False, "lost": True})
+            return
+
+        self.state = OK
         made_kf = False if self.cfg.localization_only else \
-            self._maybe_keyframe(feats, lfeats, res, timestamp)
-        self.trajectory.append((timestamp, np.asarray(T)))
+            self._maybe_keyframe(feats, lfeats, res, timestamp,
+                                 n_inl, n_matched)
         self.stats.append({"inliers": n_inl, "kf": made_kf, "lost": False,
-                           "line_inliers": int(res.n_ln_inliers)})
+                           "line_inliers": n_ln_inl})
+
+    def _relocalize_frame(self, feats, timestamp):
+        rok, rT, rn = self._relocalize(
+            self.ms, feats, key=jax.random.PRNGKey(self.cfg.seed + self.frame_id))
+        if bool(rok):
+            self.state = OK
+            self.velocity = jnp.eye(4)
+            self.T_last = rT
+            self.trajectory.append((timestamp, rT))
+            self.stats.append({"inliers": int(rn), "kf": False,
+                               "lost": False, "reloc": True})
+            return np.asarray(rT)
+        T = self.velocity @ self.T_last  # dead-reckon until relocalized
+        self.trajectory.append((timestamp, T))
+        self.T_last = T
+        self.stats.append({"inliers": 0, "kf": False, "lost": True})
         return np.asarray(T)
 
     # ------------------------------------------------------------------
     def _maybe_keyframe(self, feats, lfeats, res: tracking.TrackResult,
-                        timestamp) -> bool:
+                        timestamp, n_inl: int, n_matched: int) -> bool:
         """`NeedNewKeyFrame` (`src/Tracking.cc:1568`) policy, single-thread
         form: enough frames elapsed AND tracking weakening vs the reference
         keyframe (or a hard max interval)."""
         since = self.frame_id - self.last_kf_frame
-        n_inl = int(res.n_inliers)
-        n_kf = int(self.ms.n_kf)
+        n_kf = self.n_kf_host
         if n_kf >= self.map_cfg.max_kf - 1:
             return False
         weak = n_inl < self.cfg.kf_ref_ratio * max(self.ref_kf_matches, 1)
@@ -402,6 +438,7 @@ class System:
         ms = self._local_ba(ms)
         ms = self._cull(ms, jnp.int32(k_new))
         self.ms = ms
+        self.n_kf_host = n_kf + 1
         if self.loop_closer is not None:
             self.ms, closed = self.loop_closer.process_keyframe(
                 self.ms, k_new, seed=self.cfg.seed)
@@ -410,7 +447,7 @@ class System:
                 self.T_last = self.ms.kf_T[k_new]
                 self.velocity = jnp.eye(4)
         self.last_kf_frame = self.frame_id
-        self.ref_kf_matches = int(jnp.sum(res.matched_pt >= 0))
+        self.ref_kf_matches = n_matched
         self.kf_timestamps.append(timestamp)
         return True
 
@@ -431,8 +468,12 @@ class System:
     def n_keyframes(self) -> int:
         return int(self.ms.n_kf)
 
+    def flush(self):
+        """Resolve any deferred per-frame decisions (async mode)."""
+        self._resolve_pending()
+
     def poses(self) -> np.ndarray:
-        return np.stack([T for _, T in self.trajectory])
+        return np.stack([np.asarray(T) for _, T in self.trajectory])
 
     # --- trajectory export (src/System.cc:337-519) ---
     def save_trajectory_tum(self, path: str):
@@ -443,6 +484,20 @@ class System:
         kf = [(self.kf_timestamps[k], np.asarray(self.ms.kf_T[k]))
               for k in range(min(n, len(self.kf_timestamps)))]
         _write_tum(path, kf)
+
+    def save_map(self, path: str):
+        """Map checkpoint (the reference's SaveMap TODO, include/System.h:126)."""
+        from ..mapstate import checkpoint
+        checkpoint.save_map(self.ms, path)
+
+    def load_map(self, path: str):
+        from ..mapstate import checkpoint
+        self.ms = checkpoint.load_map(path)
+
+    def save_point_cloud(self, path: str):
+        """`System::SavePointCloud` (`src/System.cc:521`)."""
+        from ..mapstate import checkpoint
+        checkpoint.save_point_cloud(self.ms, path)
 
     def save_trajectory_kitti(self, path: str):
         with open(path, "w") as f:
@@ -455,7 +510,7 @@ def _write_tum(path, items):
     from ..geometry import se3 as _se3
     with open(path, "w") as f:
         for ts, T in items:
-            Twc = np.linalg.inv(T)
+            Twc = np.linalg.inv(np.asarray(T))
             q = np.asarray(_se3.rot_to_quat(jnp.asarray(Twc[:3, :3])))
             t = Twc[:3, 3]
             # TUM format: tx ty tz qx qy qz qw

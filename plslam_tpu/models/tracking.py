@@ -38,6 +38,8 @@ class TrackResult(NamedTuple):
     ln_inlier: jnp.ndarray    # (M,) bool
     n_ln_inliers: jnp.ndarray  # () i32
     visible_lns: jnp.ndarray  # (L,) bool
+    scalars: jnp.ndarray      # (3,) i32 [n_inliers, n_ln_inliers, n_matched] —
+                              # one packed host readback per frame
 
 
 def predict_scale(dist, max_dist, scale: float, n_levels: int):
@@ -212,17 +214,21 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
         else jnp.zeros((M,), bool)
     ln_in = lm & ln_ep_in
     matched_ln = jnp.where(ln_in, lidx.astype(jnp.int32), -1)
+    n_inl = jnp.sum(inlier.astype(jnp.int32))
+    n_ln_inl = jnp.sum(ln_in.astype(jnp.int32))
+    n_matched = jnp.sum((matched_pt >= 0).astype(jnp.int32))
     return TrackResult(
         T=res2.T,
         matched_pt=matched_pt,
         inlier=inlier,
-        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+        n_inliers=n_inl,
         n_visible=jnp.sum(visible.astype(jnp.int32)),
         visible_pts=visible,
         matched_ln=matched_ln,
         ln_inlier=ln_in,
-        n_ln_inliers=jnp.sum(ln_in.astype(jnp.int32)),
+        n_ln_inliers=n_ln_inl,
         visible_lns=ln_visible,
+        scalars=jnp.stack([n_inl, n_ln_inl, n_matched]),
     )
 
 
