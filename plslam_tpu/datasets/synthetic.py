@@ -124,7 +124,15 @@ def trajectory(n_frames: int, kind: str = "orbit", amplitude: float = 1.0):
     return np.stack(Ts)
 
 
-def render(scene: Scene, T_cw: np.ndarray, bg: float = 24.0) -> np.ndarray:
+def render_rgbd(scene: Scene, T_cw: np.ndarray, bg: float = 24.0):
+    """(grayscale (H,W) f32, depth (H,W) f32 with 0 = invalid)."""
+    img, z = render(scene, T_cw, bg, return_depth=True)
+    depth = np.where(np.isfinite(z), z, 0.0).astype(np.float32)
+    return img, depth
+
+
+def render(scene: Scene, T_cw: np.ndarray, bg: float = 24.0,
+           return_depth: bool = False):
     """Render one grayscale frame (H, W) float32 by inverse-warping each
     plane's texture through its plane-induced projective map, z-buffered,
     then drawing the 3D segments on top."""
@@ -176,11 +184,16 @@ def render(scene: Scene, T_cw: np.ndarray, bg: float = 24.0) -> np.ndarray:
         ua = (K @ (a_c / a_c[2]))[:2]
         ub = (K @ (b_c / b_c[2]))[:2]
         n = int(max(abs(ub - ua).max(), 1)) + 1
-        for u, v in np.linspace(ua, ub, n):
+        zs = np.linspace(a_c[2], b_c[2], n)
+        for (u, v), zz in zip(np.linspace(ua, ub, n), zs):
             ui, vi = int(round(u)), int(round(v))
             if 1 <= ui < w - 1 and 1 <= vi < h - 1:
                 img[vi, ui - 1:ui + 2] = (240.0, 240.0, 240.0)
-    return np.clip(img, 0, 255).astype(np.float32)
+                zbuf[vi, ui] = min(zbuf[vi, ui], zz)
+    out = np.clip(img, 0, 255).astype(np.float32)
+    if return_depth:
+        return out, zbuf
+    return out
 
 
 def render_sequence(scene: Scene, Ts: np.ndarray) -> np.ndarray:

@@ -477,3 +477,54 @@ def cull_points(ms: MapState, k_now) -> MapState:
     kf_ln_idx = jnp.where((ms.kf_ln_idx >= 0) & l_bad[l_safe], -1, ms.kf_ln_idx)
     return ms._replace(pt_valid=pt_valid, kf_pt_idx=kf_pt_idx,
                        ln_valid=ln_valid, kf_ln_idx=kf_ln_idx)
+
+
+def create_points_from_depth(cam, ms: MapState, k, kp_depth, scale_factors,
+                             max_depth: float = 40.0) -> MapState:
+    """Create map points directly from per-keypoint depth (stereo / RGBD) —
+    `Tracking::StereoInitialization` + the close-point creation in
+    `CreateNewKeyFrame` (`src/Tracking.cc:1666`, depth-sorted insertion).
+
+    Unbound keypoints of keyframe `k` with valid depth become landmarks with
+    a single observation."""
+    P = ms.pt_xyz.shape[0]
+    T = ms.kf_T[k]
+    T_wc = se3.se3_inv(T)
+    uv = ms.kf_uv[k]
+    rays = jnp.concatenate(
+        [jnp.stack([(uv[:, 0] - cam.cx) / cam.fx,
+                    (uv[:, 1] - cam.cy) / cam.fy], -1),
+         jnp.ones((uv.shape[0], 1))], -1)
+    Xc = rays * kp_depth[:, None]
+    Xw = se3.transform(T_wc, Xc)
+
+    free = ms.kf_kp_valid[k] & (ms.kf_pt_idx[k] < 0)
+    create = free & (kp_depth > 0.05) & (kp_depth < max_depth) & \
+        jnp.all(jnp.isfinite(Xw), -1)
+
+    slots, a, n_pt_new = mstate.append_slots(ms.n_pt, create, P)
+    c_w = T_wc[:3, 3]
+    d = jnp.linalg.norm(Xw - c_w, axis=-1)
+    oct_k = ms.kf_octave[k]
+    max_dist = d * scale_factors[oct_k]
+    min_dist = max_dist / scale_factors[scale_factors.shape[0] - 1]
+    normal = (Xw - c_w) / jnp.maximum(jnp.linalg.norm(Xw - c_w, axis=-1,
+                                                      keepdims=True), 1e-6)
+    ms = ms._replace(
+        pt_xyz=ms.pt_xyz.at[slots].set(jnp.where(a[:, None], Xw, ms.pt_xyz[slots])),
+        pt_desc=ms.pt_desc.at[slots].set(
+            jnp.where(a[:, None], ms.kf_desc[k], ms.pt_desc[slots])),
+        pt_normal=ms.pt_normal.at[slots].set(
+            jnp.where(a[:, None], normal, ms.pt_normal[slots])),
+        pt_min_dist=ms.pt_min_dist.at[slots].set(jnp.where(a, min_dist, ms.pt_min_dist[slots])),
+        pt_max_dist=ms.pt_max_dist.at[slots].set(jnp.where(a, max_dist, ms.pt_max_dist[slots])),
+        pt_valid=ms.pt_valid.at[slots].set(jnp.where(a, True, ms.pt_valid[slots])),
+        pt_first_kf=ms.pt_first_kf.at[slots].set(jnp.where(a, k, ms.pt_first_kf[slots])),
+        pt_n_obs=ms.pt_n_obs.at[slots].set(jnp.where(a, 1, ms.pt_n_obs[slots])),
+        pt_visible=ms.pt_visible.at[slots].set(jnp.where(a, 1, ms.pt_visible[slots])),
+        pt_found=ms.pt_found.at[slots].set(jnp.where(a, 1, ms.pt_found[slots])),
+        n_pt=n_pt_new,
+    )
+    pid = jnp.where(a, slots.astype(jnp.int32), -1)
+    row = jnp.where(a, pid, ms.kf_pt_idx[k])
+    return ms._replace(kf_pt_idx=ms.kf_pt_idx.at[k].set(row))

@@ -72,6 +72,11 @@ class SLAMConfig:
     async_pipeline: bool = False  # defer per-frame decisions by one frame:
                                   # hides the device->host readback latency
                                   # behind the next frame's compute
+    # depth sensors (stereo / RGB-D), cf ThDepth/DepthMapFactor/bf in the
+    # reference YAML (src/Tracking.cc:105-170)
+    baseline: float = 0.08          # stereo baseline [m]
+    th_depth: float = 40.0          # max trusted depth for direct creation
+    depth_map_factor: float = 1.0   # RGBD depth image scaling
     seed: int = 0
 
     @staticmethod
@@ -152,6 +157,14 @@ class System:
         self._cull = jit(mapping.cull_points)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2))
+        from ..ops import stereo as stereo_ops
+        self._depth_at = jit(stereo_ops.depth_at)
+        self._stereo_match = jit(partial(
+            stereo_ops.stereo_match, fx=float(config.fx),
+            baseline=config.baseline, scale_factors=self.scale_factors))
+        self._create_depth_points = jit(partial(
+            mapping.create_points_from_depth, cam,
+            scale_factors=self.scale_factors, max_depth=config.th_depth))
         # full-map BA for loop closure / global BA
         self._global_ba = jit(partial(
             mapping.run_local_ba, cam, sigma2_levels=self.sigma2,
@@ -177,6 +190,7 @@ class System:
         self.ref_kf_matches = 0
         self._init_feats = None
         self._init_lfeats = None
+        self._kp_depth = None
         self._pending = None
         self._init_frame_id = -1
         self.trajectory: list[tuple[float, np.ndarray]] = []
@@ -219,6 +233,66 @@ class System:
             T = self._track_frame(feats, lfeats, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return T
+
+    # ------------------------------------------------------------------
+    def track_rgbd(self, img, depth, timestamp: float):
+        """`System::TrackRGBD` (`src/System.cc:185`): metric depth enables
+        immediate single-frame initialization and direct landmark creation."""
+        t0 = time.perf_counter()
+        self.frame_id += 1
+        img = jnp.asarray(np.asarray(img).astype(np.uint8))
+        depth = jnp.asarray(np.asarray(depth).astype(np.float32)
+                            / self.cfg.depth_map_factor)
+        feats, lfeats = self._extract(img)
+        self._kp_depth = self._depth_at(depth, feats.uv)
+        if self.state == NOT_INITIALIZED:
+            T = self._initialize_with_depth(feats, lfeats, timestamp)
+        else:
+            T = self._track_frame(feats, lfeats, timestamp)
+        self.timings.append(time.perf_counter() - t0)
+        return T
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        """`System::TrackStereo` (`src/System.cc:139`): rectified pair ->
+        per-keypoint depth via MXU row-masked matching + SAD refinement."""
+        t0 = time.perf_counter()
+        self.frame_id += 1
+        im_l = jnp.asarray(np.asarray(img_left).astype(np.uint8))
+        im_r = jnp.asarray(np.asarray(img_right).astype(np.uint8))
+        feats, lfeats = self._extract(im_l)
+        feats_r, _ = self._extract(im_r)
+        d, _, ok = self._stereo_match(feats, feats_r,
+                                      im_l.astype(jnp.float32),
+                                      im_r.astype(jnp.float32))
+        self._kp_depth = jnp.where(ok, d, -1.0)
+        if self.state == NOT_INITIALIZED:
+            T = self._initialize_with_depth(feats, lfeats, timestamp)
+        else:
+            T = self._track_frame(feats, lfeats, timestamp)
+        self.timings.append(time.perf_counter() - t0)
+        return T
+
+    def _initialize_with_depth(self, feats, lfeats, timestamp):
+        """`Tracking::StereoInitialization`: one keyframe at the origin,
+        landmarks straight from depth."""
+        if int(jnp.sum(feats.valid)) < 300:
+            return None
+        N = self.map_cfg.n_kp
+        ms = self._insert_kf(self.ms, feats, jnp.eye(4),
+                             jnp.full((N,), -1, jnp.int32),
+                             jnp.int32(self.frame_id),
+                             lfeats=lfeats, matched_ln=None)
+        ms = self._create_depth_points(ms, jnp.int32(0), self._kp_depth)
+        self.ms = ms
+        self.n_kf_host = 1
+        self.state = OK
+        self.T_last = jnp.eye(4)
+        self.velocity = jnp.eye(4)
+        self.last_kf_frame = self.frame_id
+        self.ref_kf_matches = int(jnp.sum(self.ms.kf_pt_idx[0] >= 0))
+        self.kf_timestamps = [timestamp]
+        self.trajectory.append((timestamp, np.eye(4, dtype=np.float32)))
+        return np.eye(4, dtype=np.float32)
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, lfeats, timestamp):
@@ -426,6 +500,8 @@ class System:
         ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 1))
         if k_new >= 2:
             ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 2))
+        if getattr(self, "_kp_depth", None) is not None:
+            ms = self._create_depth_points(ms, jnp.int32(k_new), self._kp_depth)
         if self.cfg.use_lines and lfeats is not None:
             # multiple baselines: consecutive KFs rarely give lines enough
             # plane parallax (the reference matches against its top-10
