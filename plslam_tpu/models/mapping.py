@@ -528,3 +528,73 @@ def create_points_from_depth(cam, ms: MapState, k, kp_depth, scale_factors,
     pid = jnp.where(a, slots.astype(jnp.int32), -1)
     row = jnp.where(a, pid, ms.kf_pt_idx[k])
     return ms._replace(kf_pt_idx=ms.kf_pt_idx.at[k].set(row))
+
+
+def cull_keyframes(ms: MapState, k_current, keep_recent: int = 3) -> MapState:
+    """`KeyFrameCulling` (`src/LocalMapping.cc:1835`): a keyframe is
+    redundant if >= 90% of its bound map points are observed by at least 3
+    other keyframes (the reference additionally requires same-or-finer
+    octave; with our per-point n_obs bookkeeping the count-based rule is the
+    operative gate). KF0 and the most recent keyframes are protected.
+    Culling releases the keyframe's observations (slot stays allocated —
+    no pointer surgery, the spanning chain skips invalid slots)."""
+    K = ms.kf_T.shape[0]
+    P = ms.pt_xyz.shape[0]
+    inc = mstate.observers_of_points(ms)          # (K, P) bool
+    pt_obs = jnp.sum(inc, axis=0)                 # (P,)
+
+    bound = (ms.kf_pt_idx >= 0) & ms.kf_kp_valid  # (K, N)
+    pid = jnp.clip(ms.kf_pt_idx, 0, P - 1)
+    well_observed = (pt_obs[pid] >= 4) & bound    # self + 3 others
+    n_bound = jnp.sum(bound, axis=1)
+    n_redundant = jnp.sum(well_observed, axis=1)
+    frac = n_redundant / jnp.maximum(n_bound, 1)
+
+    ids = jnp.arange(K)
+    protected = (ids == 0) | (ids > k_current - keep_recent)
+    bad = ms.kf_valid & ~protected & (frac > 0.9) & (n_bound > 0)
+
+    kf_valid = ms.kf_valid & ~bad
+    kf_pt_idx = jnp.where(bad[:, None], -1, ms.kf_pt_idx)
+    kf_ln_idx = jnp.where(bad[:, None], -1, ms.kf_ln_idx)
+    ms = ms._replace(kf_valid=kf_valid, kf_pt_idx=kf_pt_idx,
+                     kf_ln_idx=kf_ln_idx)
+    inc = mstate.observers_of_points(ms)
+    return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
+
+
+def fuse_duplicate_points(ms: MapState, n_recent: int = 1024,
+                          max_dist3d: float = 0.05, max_hamming: int = 40
+                          ) -> MapState:
+    """Duplicate-landmark fusion — the role of `SearchInNeighbors` +
+    `ORBmatcher::Fuse` (`src/LocalMapping.cc:1505`, `src/ORBmatcher.cc:914`):
+    recently created points that coincide with an existing landmark (3D
+    proximity + descriptor agreement) are merged into the better-observed
+    one; keyframe bindings are rewired (`MapPoint::Replace` semantics,
+    `src/MapPoint.cc:177`)."""
+    P = ms.pt_xyz.shape[0]
+    # recent slots: the last n_recent allocated (indices n_pt-n_recent..n_pt)
+    start = jnp.maximum(ms.n_pt - n_recent, 0)
+    r_ids = start + jnp.arange(n_recent)
+    r_ids = jnp.clip(r_ids, 0, P - 1)
+    r_valid = ms.pt_valid[r_ids]
+
+    d3 = jnp.linalg.norm(ms.pt_xyz[r_ids][:, None, :] - ms.pt_xyz[None, :, :],
+                         axis=-1)                       # (R, P)
+    D = hamming.distance_matrix(ms.pt_desc[r_ids], ms.pt_desc)
+    older = jnp.arange(P)[None, :] < r_ids[:, None]     # strictly older slots
+    cand = (r_valid[:, None] & ms.pt_valid[None, :] & older
+            & (d3 < max_dist3d) & (D <= max_hamming))
+    target = jnp.argmax(cand, axis=1)                   # first older match
+    has_dup = jnp.any(cand, axis=1)
+
+    # replacement map: recent id -> target id (identity elsewhere)
+    repl = jnp.arange(P)
+    repl = repl.at[r_ids].set(jnp.where(has_dup, target, r_ids))
+
+    pid = jnp.clip(ms.kf_pt_idx, 0, P - 1)
+    new_idx = jnp.where(ms.kf_pt_idx >= 0, repl[pid], ms.kf_pt_idx)
+    pt_valid = ms.pt_valid.at[r_ids].set(r_valid & ~has_dup)
+    ms = ms._replace(kf_pt_idx=new_idx.astype(jnp.int32), pt_valid=pt_valid)
+    inc = mstate.observers_of_points(ms)
+    return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))

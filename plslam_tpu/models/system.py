@@ -77,6 +77,7 @@ class SLAMConfig:
     baseline: float = 0.08          # stereo baseline [m]
     th_depth: float = 40.0          # max trusted depth for direct creation
     depth_map_factor: float = 1.0   # RGBD depth image scaling
+    mask_path: str = ""             # optional LSD suppression mask (masks/)
     seed: int = 0
 
     @staticmethod
@@ -133,6 +134,13 @@ class System:
             n_levels=config.n_levels, scale=config.scale_factor)
         self.scale_factors, self.sigma2 = extract.scale_factors(self.ext_cfg)
 
+        self._line_mask = None
+        if config.mask_path:
+            import cv2
+            m = cv2.imread(config.mask_path, 0)
+            if m is not None:
+                self._line_mask = jnp.asarray((m > 127).astype(np.float32))
+
         jit = jax.jit if use_jit else (lambda f, **kw: f)
         cam = self.cam
         self._extract = jit(self._extract_impl)
@@ -155,6 +163,9 @@ class System:
             window=config.ba_window, p_ba=config.ba_points,
             l_ba=config.ba_lines))
         self._cull = jit(mapping.cull_points)
+        self._cull_kf = jit(partial(mapping.cull_keyframes))
+        self._fuse = jit(partial(mapping.fuse_duplicate_points,
+                                 n_recent=min(1024, config.max_pt)))
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2))
         from ..ops import stereo as stereo_ops
@@ -205,7 +216,8 @@ class System:
         uv_un = cam_mod.undistort_pixels(self.cam, feats.uv)
         feats = feats._replace(uv_un=uv_un)
         if self.cfg.use_lines:
-            lf = line_ops.detect_lines(img, n_out=self.cfg.n_lf)
+            lf = line_ops.detect_lines(img, n_out=self.cfg.n_lf,
+                                       mask=self._line_mask)
             # undistort endpoints, refresh the infinite-line equation
             ua = cam_mod.undistort_pixels(self.cam, lf.uv_a)
             ub = cam_mod.undistort_pixels(self.cam, lf.uv_b)
@@ -223,8 +235,11 @@ class System:
         empty Mat before init)."""
         t0 = time.perf_counter()
         self.frame_id += 1
-        # uint8 on the wire: host->device bandwidth is the per-frame floor
-        img = jnp.asarray(np.asarray(img).astype(np.uint8))
+        # uint8 on the wire: host->device bandwidth is the per-frame floor.
+        # Device-resident arrays pass straight through (pre-staged input
+        # pipelines / the native prefetch loader feeding device_put).
+        if not isinstance(img, jax.Array):
+            img = jax.device_put(np.asarray(img).astype(np.uint8))
         feats, lfeats = self._extract(img)
 
         if self.state == NOT_INITIALIZED:
@@ -404,21 +419,11 @@ class System:
         if self.state == LOST:
             return self._relocalize_frame(feats, timestamp)
 
-        T_pred = self.velocity @ self.T_last
-        res = self._track(self.ms, feats, T_pred, lfeats=lfeats)
+        res = self._track(self.ms, feats, self.T_last, lfeats=lfeats,
+                          velocity=self.velocity)
         self.ms = self._update_stats(self.ms, res)
         T = res.T
-        # Damped constant-velocity model: raw velocity extrapolation turns
-        # estimator wander in weakly-observable directions (e.g. the
-        # rotation/translation valley of a plane-dominated view) into an
-        # exponentially growing oscillation (e_{k+1} ~ 2 e_k - e_{k-1});
-        # damping the twist by gamma < 1 moves the characteristic roots to
-        # {1, gamma} — marginally stable, so off-plane points keep the pose
-        # pinned. The reference's undamped model survives only because its
-        # matcher re-anchors to the last frame; ours anchors to the map.
-        gamma = 0.8
-        vel_twist = se3.se3_log(T @ se3.se3_inv(self.T_last))
-        self.velocity = se3.se3_exp(gamma * vel_twist)
+        self.velocity = res.velocity  # damped model computed in-program
         self.T_last = T
         self.trajectory.append((timestamp, T))  # device array; fetched lazily
 
@@ -511,8 +516,11 @@ class System:
                 if k_new >= back:
                     ms = self._create_lines(ms, jnp.int32(k_new),
                                             jnp.int32(k_new - back))
+        ms = self._fuse(ms)
         ms = self._local_ba(ms)
         ms = self._cull(ms, jnp.int32(k_new))
+        if k_new % 4 == 3:  # periodic keyframe culling
+            ms = self._cull_kf(ms, jnp.int32(k_new))
         self.ms = ms
         self.n_kf_host = n_kf + 1
         if self.loop_closer is not None:

@@ -40,6 +40,7 @@ class TrackResult(NamedTuple):
     visible_lns: jnp.ndarray  # (L,) bool
     scalars: jnp.ndarray      # (3,) i32 [n_inliers, n_ln_inliers, n_matched] —
                               # one packed host readback per frame
+    velocity: jnp.ndarray     # (4,4) damped constant-velocity estimate
 
 
 def predict_scale(dist, max_dist, scale: float, n_levels: int):
@@ -141,16 +142,22 @@ def _match_lines_against_map(cam, ms: MapState, lfeats, T,
     return best_idx, matched, visible
 
 
-def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
+def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
                     scale_factors, sigma2_levels, lfeats=None, th: float = 1.0,
                     n_levels: int = 8, scale: float = 1.2,
-                    line_info: float = 1.0) -> TrackResult:
+                    line_info: float = 1.0, velocity=None,
+                    vel_gamma: float = 0.8) -> TrackResult:
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
     then the tight local-map search + second optimization produces the final
     pose. Both searches reuse ONE Hamming matrix (N x P, computed once on
-    the MXU)."""
+    the MXU). The damped constant-velocity model lives INSIDE the program
+    (host-side eager Lie algebra would cost dozens of device dispatches per
+    frame)."""
+    if velocity is None:
+        velocity = jnp.eye(4)
+    T_pred = velocity @ T_last
     D = hamming.distance_matrix(feats.desc, ms.pt_desc)  # (N, P)
     sigma2_kp = sigma2_levels[feats.octave]
 
@@ -217,6 +224,12 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
     n_inl = jnp.sum(inlier.astype(jnp.int32))
     n_ln_inl = jnp.sum(ln_in.astype(jnp.int32))
     n_matched = jnp.sum((matched_pt >= 0).astype(jnp.int32))
+    # Damped constant-velocity update: raw extrapolation turns estimator
+    # wander in weakly-observable directions (plane-dominated views) into
+    # exponential divergence (e_{k+1} ~ 2 e_k - e_{k-1}); gamma < 1 moves
+    # the error-dynamics roots to {1, gamma}.
+    new_velocity = se3.se3_exp(
+        vel_gamma * se3.se3_log(res2.T @ se3.se3_inv(T_last)))
     return TrackResult(
         T=res2.T,
         matched_pt=matched_pt,
@@ -229,6 +242,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_pred,
         n_ln_inliers=n_ln_inl,
         visible_lns=ln_visible,
         scalars=jnp.stack([n_inl, n_ln_inl, n_matched]),
+        velocity=new_velocity,
     )
 
 

@@ -46,17 +46,19 @@ class LineFeatures(NamedTuple):
 
 
 def sobel(img):
-    """(H,W) -> gx, gy with replicate border."""
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
-    ky = kx.T
-    x = jnp.pad(img, 1, mode="edge")[None, None]
+    """(H,W) -> gx, gy with replicate border (shifted-slice sums — tiny-
+    kernel convs lower poorly on TPU)."""
+    h, w = img.shape
+    x = jnp.pad(img, 1, mode="edge")
 
-    def conv(k):
-        return jax.lax.conv_general_dilated(
-            x, k[None, None], (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    def sh(dy, dx):
+        return x[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
-    return conv(kx), conv(ky)
+    gx = ((sh(-1, 1) - sh(-1, -1)) + 2.0 * (sh(0, 1) - sh(0, -1))
+          + (sh(1, 1) - sh(1, -1))) / 8.0
+    gy = ((sh(1, -1) - sh(-1, -1)) + 2.0 * (sh(1, 0) - sh(-1, 0))
+          + (sh(1, 1) - sh(-1, 1))) / 8.0
+    return gx, gy
 
 
 def _angle_diff(a, b):
@@ -68,11 +70,17 @@ def _angle_diff(a, b):
 def detect_lines(img, n_out: int = 256, block: int = 8,
                  coherence_th: float = 0.7, mag_th: float = 3.0,
                  angle_tol: float = 0.30, min_length: float = 24.0,
-                 perp_tol: float = 2.5):
-    """img: (H, W) float32 -> LineFeatures with n_out static slots."""
+                 perp_tol: float = 2.5, mask=None):
+    """img: (H, W) float32 -> LineFeatures with n_out static slots.
+
+    `mask`: optional (H, W) {0,1} suppression mask — blocks whose masked
+    fraction is below 0.8 are excluded, mirroring the reference's LSD mask
+    feature (`masks/`, `src/LSDDetector_custom.cpp:202-213`)."""
     H, W = img.shape
     gx, gy = sobel(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
+    if mask is not None:
+        mag = mag * mask
 
     gb = H // block, W // block
     nb = gb[0] * gb[1]
@@ -99,6 +107,9 @@ def detect_lines(img, n_out: int = 256, block: int = 8,
     line_angle = (grad_angle + jnp.pi / 2.0) % jnp.pi      # [0, pi)
 
     is_line = (coherence > coherence_th) & (mean_mag > mag_th)
+    if mask is not None:
+        mask_frac = block_sum(mask) / (block * block)
+        is_line = is_line & (mask_frac > 0.8)
 
     # block centers
     by = (jnp.arange(gb[0]) * block + block // 2).astype(jnp.float32)

@@ -35,19 +35,23 @@ def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def blur(img, ksize: int = 7, sigma: float = 2.0):
-    """Separable Gaussian blur, replicate-padded. img: (H, W) float32."""
-    k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
+    """Separable Gaussian blur, replicate-padded. img: (H, W) float32.
+
+    Implemented as shifted-slice weighted sums (pure VPU adds that XLA
+    fuses) — the conv_general_dilated lowering of tiny 1x7 kernels was the
+    single hottest op of the whole extraction program on TPU."""
+    k = gaussian_kernel1d(ksize, sigma)
     r = ksize // 2
+    h, w = img.shape
     x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    # vertical pass via conv
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    return x
+    acc = k[0] * x[0:h, :]
+    for i in range(1, ksize):
+        acc = acc + k[i] * x[i:i + h, :]
+    x = jnp.pad(acc, ((0, 0), (r, r)), mode="edge")
+    acc = k[0] * x[:, 0:w]
+    for i in range(1, ksize):
+        acc = acc + k[i] * x[:, i:i + w]
+    return acc
 
 
 def resize_bilinear(img, out_hw):
