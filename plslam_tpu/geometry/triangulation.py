@@ -48,12 +48,54 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (...,4,4)
     # Normalize rows for conditioning (f32).
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    x = vecs[..., :, 0]  # smallest eigenvalue's eigenvector
-    w = x[..., 3]
-    safe_w = jnp.where(jnp.abs(w) < 1e-10, 1e-10, w)
-    return x[..., :3] / safe_w[..., None]
+    # Finite-point formulation: with w=1, solve B X = -c in least squares
+    # (B = A[:, :3], c = A[:, 3]) via closed-form 3x3 normal equations —
+    # batched eigh/SVD of the homogeneous 4x4 lowers to slow generic
+    # factorization kernels on TPU; the adjugate solve is pure VPU math.
+    # (SLAM landmarks are finite by construction; points near infinity fail
+    # the subsequent depth/parallax gates anyway.)
+    B = A[..., :, :3]
+    c = A[..., :, 3]
+    N = jnp.einsum("...ki,...kj->...ij", B, B)
+    g = -jnp.einsum("...ki,...k->...i", B, c)
+    return solve3x3(N, g)
+
+
+def solve3x3(N, g, eps: float = 1e-12):
+    """Batched closed-form 3x3 solve via the adjugate (Cramer)."""
+    a, b, c_ = N[..., 0, 0], N[..., 0, 1], N[..., 0, 2]
+    d, e, f = N[..., 1, 0], N[..., 1, 1], N[..., 1, 2]
+    gg, h, i = N[..., 2, 0], N[..., 2, 1], N[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c_ * h - b * i
+    A02 = b * f - c_ * e
+    A10 = f * gg - d * i
+    A11 = a * i - c_ * gg
+    A12 = c_ * d - a * f
+    A20 = d * h - e * gg
+    A21 = b * gg - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c_ * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    x = (A00 * g[..., 0] + A01 * g[..., 1] + A02 * g[..., 2]) * inv_det
+    y = (A10 * g[..., 0] + A11 * g[..., 1] + A12 * g[..., 2]) * inv_det
+    z = (A20 * g[..., 0] + A21 * g[..., 1] + A22 * g[..., 2]) * inv_det
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def inv3x3(N, eps: float = 1e-12):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c_ = N[..., 0, 0], N[..., 0, 1], N[..., 0, 2]
+    d, e, f = N[..., 1, 0], N[..., 1, 1], N[..., 1, 2]
+    gg, h, i = N[..., 2, 0], N[..., 2, 1], N[..., 2, 2]
+    adj = jnp.stack([
+        jnp.stack([e * i - f * h, c_ * h - b * i, b * f - c_ * e], -1),
+        jnp.stack([f * gg - d * i, a * i - c_ * gg, c_ * d - a * f], -1),
+        jnp.stack([d * h - e * gg, b * gg - a * h, a * e - b * d], -1),
+    ], -2)
+    det = a * adj[..., 0, 0] + b * adj[..., 1, 0] + c_ * adj[..., 2, 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    return adj * inv_det[..., None, None]
 
 
 def backproject_plane(cam, T_cw, line_2d):

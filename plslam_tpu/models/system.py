@@ -72,6 +72,8 @@ class SLAMConfig:
     async_pipeline: bool = False  # defer per-frame decisions by one frame:
                                   # hides the device->host readback latency
                                   # behind the next frame's compute
+    async_depth: int = 1          # frames per decision readback (the relay's
+                                  # ~25ms roundtrip amortizes across N frames)
     # depth sensors (stereo / RGB-D), cf ThDepth/DepthMapFactor/bf in the
     # reference YAML (src/Tracking.cc:105-170)
     baseline: float = 0.08          # stereo baseline [m]
@@ -202,7 +204,7 @@ class System:
         self._init_feats = None
         self._init_lfeats = None
         self._kp_depth = None
-        self._pending = None
+        self._pending = []
         self._init_frame_id = -1
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.kf_timestamps: list[float] = []
@@ -433,36 +435,35 @@ class System:
         # programs were dispatched — its latency hides behind them
         # (bounded-lag semantics: keyframes are created one frame late from
         # their stored features).
-        prev = self._pending
-        self._pending = (res, feats, lfeats, timestamp)
+        self._pending.append((res, feats, lfeats, timestamp))
         if self.cfg.async_pipeline:
-            if prev is not None:
-                cur = self._pending
-                self._pending = prev
-                self._resolve_pending()
-                self._pending = cur
+            # keep `async_depth` frames in flight; resolve the oldest batch
+            # with ONE device->host fetch when the queue is full
+            if len(self._pending) > self.cfg.async_depth:
+                self._resolve_pending(keep=1)
         else:
             self._resolve_pending()
         return T
 
-    def _resolve_pending(self):
-        if self._pending is None:
-            return
-        res, feats, lfeats, timestamp = self._pending
-        self._pending = None
-        n_inl, n_ln_inl, n_matched = (int(x) for x in np.asarray(res.scalars))
-
-        if n_inl < self.cfg.min_track_inliers:
-            self.state = LOST
-            self.stats.append({"inliers": n_inl, "kf": False, "lost": True})
-            return
-
-        self.state = OK
-        made_kf = False if self.cfg.localization_only else \
-            self._maybe_keyframe(feats, lfeats, res, timestamp,
-                                 n_inl, n_matched)
-        self.stats.append({"inliers": n_inl, "kf": made_kf, "lost": False,
-                           "line_inliers": n_ln_inl})
+    def _resolve_pending(self, keep: int = 0):
+        while len(self._pending) > keep:
+            batch = self._pending[:len(self._pending) - keep]
+            self._pending = self._pending[len(batch):]
+            # one fused readback for the whole batch
+            sc = np.asarray(jnp.stack([b[0].scalars for b in batch]))
+            for (res, feats, lfeats, timestamp), row in zip(batch, sc):
+                n_inl, n_ln_inl, n_matched = (int(x) for x in row)
+                if n_inl < self.cfg.min_track_inliers:
+                    self.state = LOST
+                    self.stats.append({"inliers": n_inl, "kf": False,
+                                       "lost": True})
+                    continue
+                self.state = OK
+                made_kf = False if self.cfg.localization_only else \
+                    self._maybe_keyframe(feats, lfeats, res, timestamp,
+                                         n_inl, n_matched)
+                self.stats.append({"inliers": n_inl, "kf": made_kf,
+                                   "lost": False, "line_inliers": n_ln_inl})
 
     def _relocalize_frame(self, feats, timestamp):
         rok, rT, rn = self._relocalize(
@@ -554,7 +555,7 @@ class System:
 
     def flush(self):
         """Resolve any deferred per-frame decisions (async mode)."""
-        self._resolve_pending()
+        self._resolve_pending(keep=0)
 
     def poses(self) -> np.ndarray:
         return np.stack([np.asarray(T) for _, T in self.trajectory])

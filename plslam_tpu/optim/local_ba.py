@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3
+from ..geometry.triangulation import inv3x3
 from . import residuals
 
 CHI2_POINT = 5.991
@@ -146,8 +147,10 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust):
         jnp.einsum("pii->p", Hpp)[:, None, None] / 3.0, 1e-6) + 1e-6 * eye3
     Hll_d = Hll + lam * eye3 * jnp.maximum(
         jnp.einsum("leii->le", Hll)[..., None, None] / 3.0, 1e-6) + 1e-6 * eye3
-    Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_free[:, None, None]
-    Hll_inv = jnp.linalg.inv(Hll_d) * ln_free[:, None, None, None]
+    # closed-form 3x3 inverses: generic batched linalg.inv lowers to slow
+    # factorization kernels on TPU
+    Hpp_inv = inv3x3(Hpp_d) * pt_free[:, None, None]
+    Hll_inv = inv3x3(Hll_d) * ln_free[:, None, None, None]
 
     # --- Schur complement ---
     # S[k,l'] = Hcc diag - sum_p Hcp[k,p] Hpp_inv[p] Hcp[l',p]^T  (+ lines)
@@ -219,21 +222,22 @@ def bundle_adjust(prob: BAProblem, cam, iters_a: int = 5, iters_b: int = 10
 
     def lm_phase(n_iters, robust, kf_T, pt_xyz, ln_xyz, obs_in, ln_in):
         def body(i, state):
-            kf_T, pt_xyz, ln_xyz, lam = state
+            kf_T, pt_xyz, ln_xyz, lam, c_cur = state
             T2, p2, l2 = _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz,
                                         obs_in, ln_in, lam, robust)
-            c_old = _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust)
             c_new = _total_cost(prob, cam, T2, p2, l2, obs_in, ln_in, robust)
-            ok = (c_new < c_old) & jnp.isfinite(c_new)
+            ok = (c_new < c_cur) & jnp.isfinite(c_new)
             kf_T = jnp.where(ok, T2, kf_T)
             pt_xyz = jnp.where(ok, p2, pt_xyz)
             ln_xyz = jnp.where(ok, l2, ln_xyz)
             lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9),
                             jnp.minimum(lam * 4.0, 1e8))
-            return kf_T, pt_xyz, ln_xyz, lam
+            return kf_T, pt_xyz, ln_xyz, lam, jnp.where(ok, c_new, c_cur)
 
-        return jax.lax.fori_loop(
-            0, n_iters, body, (kf_T, pt_xyz, ln_xyz, jnp.float32(1e-4)))
+        c0 = _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust)
+        out = jax.lax.fori_loop(
+            0, n_iters, body, (kf_T, pt_xyz, ln_xyz, jnp.float32(1e-4), c0))
+        return out[:4]
 
     obs_in = prob.obs_mask
     ln_in = prob.ln_obs_mask

@@ -109,21 +109,21 @@ def pose_optimize(cam, T_init, obs: PoseObs,
         robust = rd < rounds - 1
 
         def lm_body(it, state):
-            T, lam, _ = state
+            T, lam, c_cur = state
             H, b, *_ = _normal_equations(cam, T, obs, pt_in, ln_in, robust)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
             dx = jnp.linalg.solve(Hd, b)
             T_new = se3.se3_exp(dx) @ T
-            c_old = _cost(cam, T, obs, pt_in, ln_in, robust)
             c_new = _cost(cam, T_new, obs, pt_in, ln_in, robust)
-            accept = (c_new < c_old) & jnp.all(jnp.isfinite(T_new))
+            accept = (c_new < c_cur) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(accept, T_new, T)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-10),
                             jnp.minimum(lam * 4.0, 1e6))
-            return T, lam, c_new
+            return T, lam, jnp.where(accept, c_new, c_cur)
 
+        c0 = _cost(cam, T, obs, pt_in, ln_in, robust)
         T, _, _ = jax.lax.fori_loop(0, iters_per_round, lm_body,
-                                    (T, jnp.float32(1e-3), jnp.float32(0.0)))
+                                    (T, jnp.float32(1e-3), c0))
 
         # Reclassify inliers for the next round (all edges re-tested).
         _, _, chi2_p, chi2_l, z_p, z_l = _normal_equations(
