@@ -318,7 +318,8 @@ def create_new_lines(cam, ms: MapState, k_new, k_ref,
 
 
 def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
-                 p_ba: int = 4096, l_ba: int = 512) -> MapState:
+                 p_ba: int = 4096, l_ba: int = 512, iters_a: int = 5,
+                 iters_b: int = 10) -> MapState:
     """Local BA over the last `window` keyframes
     (`LocalBundleAdjustmentWithLine`, `src/Optimizer.cc:1645`): the two
     oldest window slots are fixed (pinning the monocular scale gauge — one
@@ -409,7 +410,7 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
         ln_obs_l2d=ln_obs_l2d,
         ln_obs_mask=ln_obs_mask,
     )
-    res = local_ba.bundle_adjust(prob, cam)
+    res = local_ba.bundle_adjust(prob, cam, iters_a=iters_a, iters_b=iters_b)
 
     # --- write back poses + points + lines ---
     new_kf_T = ms.kf_T.at[ids_c].set(
@@ -598,3 +599,48 @@ def fuse_duplicate_points(ms: MapState, n_recent: int = 1024,
     ms = ms._replace(kf_pt_idx=new_idx.astype(jnp.int32), pt_valid=pt_valid)
     inc = mstate.observers_of_points(ms)
     return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
+
+
+def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
+                     matched_ln, frame_id, kp_depth, sigma2_levels,
+                     scale_factors, window: int, p_ba: int, l_ba: int,
+                     max_depth: float, do_kf_cull, use_depth) -> MapState:
+    """The whole keyframe chain as ONE program: insert -> triangulate new
+    points (two baselines) -> triangulate new lines (three baselines) ->
+    depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
+    landmark culling -> (periodic) keyframe culling.
+
+    Fusing matters: as separate jits each stage materializes a complete new
+    MapState (tens of MB) at the program boundary; in one program XLA
+    aliases the intermediates, and `donate_argnums` makes the update
+    in-place in HBM.
+    """
+    k_new = ms.n_kf
+    ms = insert_keyframe(cam, ms, feats, T, matched_pt, frame_id,
+                         scale_factors, lfeats=lfeats, matched_ln=matched_ln)
+    ms = create_new_points(cam, ms, k_new, k_new - 1, sigma2_levels,
+                           scale_factors)
+    ms = jax.lax.cond(
+        k_new >= 2,
+        lambda m: create_new_points(cam, m, k_new, k_new - 2, sigma2_levels,
+                                    scale_factors),
+        lambda m: m, ms)
+    if lfeats is not None:
+        for back in (1, 2, 3):
+            ms = jax.lax.cond(
+                k_new >= back,
+                lambda m, b=back: create_new_lines(cam, m, k_new, k_new - b),
+                lambda m: m, ms)
+    if use_depth:
+        ms = create_points_from_depth(cam, ms, k_new, kp_depth,
+                                      scale_factors, max_depth)
+    ms = fuse_duplicate_points(ms)
+    # 4+8 iterations: the reference schedules 5+10 but aborts BA whenever a
+    # new keyframe arrives (mbAbortBA, src/LocalMapping.cc:140) — effective
+    # iteration counts under load are lower than nominal
+    ms = run_local_ba(cam, ms, sigma2_levels, window=window, p_ba=p_ba,
+                      l_ba=l_ba, iters_a=4, iters_b=8)
+    ms = cull_points(ms, k_new)
+    ms = jax.lax.cond(do_kf_cull, lambda m: cull_keyframes(m, k_new),
+                      lambda m: m, ms)
+    return ms

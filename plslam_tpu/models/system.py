@@ -59,7 +59,7 @@ class SLAMConfig:
     # policy
     min_init_matches: int = 100
     min_track_inliers: int = 10
-    kf_min_interval: int = 0
+    kf_min_interval: int = 2  # mapper-idle rate limit equivalent
     kf_max_interval: int = 10
     kf_ref_ratio: float = 0.9
     ba_window: int = 8
@@ -146,11 +146,17 @@ class System:
         jit = jax.jit if use_jit else (lambda f, **kw: f)
         cam = self.cam
         self._extract = jit(self._extract_impl)
-        self._track = jit(partial(
+        track_fn = partial(
             tracking.track_local_map, cam,
             scale_factors=self.scale_factors, sigma2_levels=self.sigma2,
             n_levels=config.n_levels, scale=config.scale_factor,
-            line_info=config.track_line_info))
+            line_info=config.track_line_info)
+        self._track = jit(track_fn)
+        # tracking + stats update in one program, map state donated in HBM
+        self._track_update = jax.jit(
+            partial(track_fn, update_stats=True),
+            donate_argnums=(0,)) if use_jit else partial(
+            track_fn, update_stats=True)
         self._update_stats = jit(tracking.update_point_stats)
         self._match_frames = jit(tracking.match_frames)
         self._init_two_view = jit(partial(twoview.initialize_two_view, K=jnp.asarray(np.asarray(cam.K))))
@@ -168,6 +174,23 @@ class System:
         self._cull_kf = jit(partial(mapping.cull_keyframes))
         self._fuse = jit(partial(mapping.fuse_duplicate_points,
                                  n_recent=min(1024, config.max_pt)))
+        # the fused keyframe chain (donated map state: in-place HBM update)
+        self._process_kf = {}
+        for ud in (False, True):
+            self._process_kf[ud] = jax.jit(
+                partial(mapping.process_keyframe, cam,
+                        sigma2_levels=self.sigma2,
+                        scale_factors=self.scale_factors,
+                        window=config.ba_window, p_ba=config.ba_points,
+                        l_ba=config.ba_lines, max_depth=config.th_depth,
+                        use_depth=ud),
+                static_argnames=(), donate_argnums=(0,)) if use_jit else \
+                partial(mapping.process_keyframe, cam,
+                        sigma2_levels=self.sigma2,
+                        scale_factors=self.scale_factors,
+                        window=config.ba_window, p_ba=config.ba_points,
+                        l_ba=config.ba_lines, max_depth=config.th_depth,
+                        use_depth=ud)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2))
         from ..ops import stereo as stereo_ops
@@ -421,9 +444,9 @@ class System:
         if self.state == LOST:
             return self._relocalize_frame(feats, timestamp)
 
-        res = self._track(self.ms, feats, self.T_last, lfeats=lfeats,
-                          velocity=self.velocity)
-        self.ms = self._update_stats(self.ms, res)
+        res, self.ms = self._track_update(self.ms, feats, self.T_last,
+                                          lfeats=lfeats,
+                                          velocity=self.velocity)
         T = res.T
         self.velocity = res.velocity  # damped model computed in-program
         self.T_last = T
@@ -452,7 +475,7 @@ class System:
             # one fused readback for the whole batch
             sc = np.asarray(jnp.stack([b[0].scalars for b in batch]))
             for (res, feats, lfeats, timestamp), row in zip(batch, sc):
-                n_inl, n_ln_inl, n_matched = (int(x) for x in row)
+                n_inl, n_ln_inl, n_matched, nref3 = (int(x) for x in row)
                 if n_inl < self.cfg.min_track_inliers:
                     self.state = LOST
                     self.stats.append({"inliers": n_inl, "kf": False,
@@ -461,7 +484,7 @@ class System:
                 self.state = OK
                 made_kf = False if self.cfg.localization_only else \
                     self._maybe_keyframe(feats, lfeats, res, timestamp,
-                                         n_inl, n_matched)
+                                         n_inl, n_matched, nref3)
                 self.stats.append({"inliers": n_inl, "kf": made_kf,
                                    "lost": False, "line_inliers": n_ln_inl})
 
@@ -484,7 +507,8 @@ class System:
 
     # ------------------------------------------------------------------
     def _maybe_keyframe(self, feats, lfeats, res: tracking.TrackResult,
-                        timestamp, n_inl: int, n_matched: int) -> bool:
+                        timestamp, n_inl: int, n_matched: int,
+                        nref3: int = 0) -> bool:
         """`NeedNewKeyFrame` (`src/Tracking.cc:1568`) policy, single-thread
         form: enough frames elapsed AND tracking weakening vs the reference
         keyframe (or a hard max interval)."""
@@ -492,9 +516,11 @@ class System:
         n_kf = self.n_kf_host
         if n_kf >= self.map_cfg.max_kf - 1:
             return False
-        weak = n_inl < self.cfg.kf_ref_ratio * max(self.ref_kf_matches, 1)
+        # reference semantics: compare inliers against the ref KF's points
+        # with >= 3 observations (NOT all matches) — `NeedNewKeyFrame` c2
+        weak = n_inl < self.cfg.kf_ref_ratio * max(nref3, 15)
         need = (since >= self.cfg.kf_max_interval) or (
-            since > self.cfg.kf_min_interval and weak and n_inl > 15)
+            since >= self.cfg.kf_min_interval and weak and n_inl > 15)
         if not need:
             return False
 
@@ -524,7 +550,9 @@ class System:
             ms = self._cull_kf(ms, jnp.int32(k_new))
         self.ms = ms
         self.n_kf_host = n_kf + 1
-        if self.loop_closer is not None:
+        if self.loop_closer is not None and k_new % 2 == 0:
+            # every 2nd keyframe: detection costs a covisibility readback
+            # (the reference's LoopClosing thread also skips KFs when busy)
             self.ms, closed = self.loop_closer.process_keyframe(
                 self.ms, k_new, seed=self.cfg.seed)
             if closed:

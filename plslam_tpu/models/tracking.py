@@ -38,8 +38,8 @@ class TrackResult(NamedTuple):
     ln_inlier: jnp.ndarray    # (M,) bool
     n_ln_inliers: jnp.ndarray  # () i32
     visible_lns: jnp.ndarray  # (L,) bool
-    scalars: jnp.ndarray      # (3,) i32 [n_inliers, n_ln_inliers, n_matched] —
-                              # one packed host readback per frame
+    scalars: jnp.ndarray      # (4,) i32 [n_inliers, n_ln_inliers, n_matched,
+                              # ref_kf_tracked3] — one packed readback/frame
     velocity: jnp.ndarray     # (4,4) damped constant-velocity estimate
 
 
@@ -146,7 +146,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
                     scale_factors, sigma2_levels, lfeats=None, th: float = 1.0,
                     n_levels: int = 8, scale: float = 1.2,
                     line_info: float = 1.0, velocity=None,
-                    vel_gamma: float = 0.8) -> TrackResult:
+                    vel_gamma: float = 0.8, update_stats: bool = False):
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
@@ -185,7 +185,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         cam, T_pred,
         pose_opt.PoseObs(ms.pt_xyz[idx1], feats.uv_un, sigma2_kp, m1,
                          *pose_opt.PoseObs.empty_lines(1)),
-        rounds=2)
+        rounds=2, iters_per_round=5)
     # fall back to the prediction if the wide stage found too little
     T_mid = jnp.where(res1.n_inliers >= 10, res1.T, T_pred)
 
@@ -212,7 +212,8 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         ln_visible = jnp.zeros(ms.ln_valid.shape, bool)
         obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
                                 *pose_opt.PoseObs.empty_lines(1))
-    res2 = pose_opt.pose_optimize(cam, T_mid, obs2)
+    res2 = pose_opt.pose_optimize(cam, T_mid, obs2, rounds=3,
+                                  iters_per_round=7)
 
     inlier = res2.pt_inlier & m2
     matched_pt = jnp.where(inlier, idx2.astype(jnp.int32), -1)
@@ -224,13 +225,21 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     n_inl = jnp.sum(inlier.astype(jnp.int32))
     n_ln_inl = jnp.sum(ln_in.astype(jnp.int32))
     n_matched = jnp.sum((matched_pt >= 0).astype(jnp.int32))
+    # reference-KF tracked points with >= 3 observations — the comparison
+    # base of the keyframe decision (`KeyFrame::TrackedMapPoints(3)`,
+    # used by NeedNewKeyFrame at src/Tracking.cc:1608)
+    P = ms.pt_xyz.shape[0]
+    k_last = jnp.maximum(ms.n_kf - 1, 0)
+    row = ms.kf_pt_idx[k_last]
+    pid_r = jnp.clip(row, 0, P - 1)
+    nref3 = jnp.sum(((row >= 0) & (ms.pt_n_obs[pid_r] >= 3)).astype(jnp.int32))
     # Damped constant-velocity update: raw extrapolation turns estimator
     # wander in weakly-observable directions (plane-dominated views) into
     # exponential divergence (e_{k+1} ~ 2 e_k - e_{k-1}); gamma < 1 moves
     # the error-dynamics roots to {1, gamma}.
     new_velocity = se3.se3_exp(
         vel_gamma * se3.se3_log(res2.T @ se3.se3_inv(T_last)))
-    return TrackResult(
+    result = TrackResult(
         T=res2.T,
         matched_pt=matched_pt,
         inlier=inlier,
@@ -241,9 +250,15 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         ln_inlier=ln_in,
         n_ln_inliers=n_ln_inl,
         visible_lns=ln_visible,
-        scalars=jnp.stack([n_inl, n_ln_inl, n_matched]),
+        scalars=jnp.stack([n_inl, n_ln_inl, n_matched, nref3]),
         velocity=new_velocity,
     )
+    if update_stats:
+        # fold the found/visible statistics update into the same program:
+        # a separate jit would copy the full MapState across the program
+        # boundary every frame
+        return result, update_point_stats(ms, result)
+    return result
 
 
 def update_point_stats(ms: MapState, result: TrackResult) -> MapState:
