@@ -13,7 +13,7 @@ approximates with its AcceptKeyFrames idle check).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 
@@ -27,7 +27,6 @@ from ..models import mapping, tracking
 from ..ops import extract
 from ..ops import lines as line_ops
 from ..solvers import twoview
-from ..optim import local_ba
 
 
 @dataclass

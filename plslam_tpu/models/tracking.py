@@ -161,12 +161,6 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     D = hamming.distance_matrix(feats.desc, ms.pt_desc)  # (N, P)
     sigma2_kp = sigma2_levels[feats.octave]
 
-    def optimize(T0, best_idx, matched):
-        obs = pose_opt.PoseObs(
-            ms.pt_xyz[best_idx], feats.uv_un, sigma2_kp, matched,
-            *pose_opt.PoseObs.empty_lines(1))
-        return pose_opt.pose_optimize(cam, T0, obs)
-
     # Stage 1: wide window around the motion-model prediction, UNIONed with
     # a windowless ratio-test match (the TrackReferenceKeyFrame / BoW
     # fallback of the reference, `src/Tracking.cc:1143` — here it is free:

@@ -62,8 +62,8 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
     for l, (im_l, n_l) in enumerate(zip(levels, budgets)):
         if n_l == 0:
             continue
-        score = fast.fast_dual_threshold(im_l, cfg.th_fast_high, cfg.th_fast_low,
-                                         cfg.margin)
+        score = fast.fast_dual_threshold(im_l, cfg.th_fast_high,
+                                         cfg.th_fast_low, cfg.margin)
         uv, resp, valid = select.select_grid_topk(score, n_l, cell=cfg.cell)
         ang = orb.ic_angle(im_l, uv)
         im_blur = pyramid.blur(im_l)
@@ -88,6 +88,34 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
         valid=jnp.concatenate(valid_all),
     )
     return feats
+
+
+def refine_subpixel(score, uv):
+    """Quadratic sub-pixel refinement on a score map. NOT used by the
+    pipeline: measured on the synthetic suite it WORSENS ATE (the FAST ring
+    score's peak is biased off the geometric corner on block textures), so
+    extraction keeps integer locations like the reference
+    (`src/ORBextractor.cc:765`). Kept for imagery where the score peak is
+    better behaved."""
+    h, w = score.shape
+    x = jnp.clip(uv[:, 0].astype(jnp.int32), 1, w - 2)
+    y = jnp.clip(uv[:, 1].astype(jnp.int32), 1, h - 2)
+
+    def at(dy, dx):
+        return score[y + dy, x + dx]
+
+    s0 = at(0, 0)
+    dxs = 0.5 * (at(0, 1) - at(0, -1))
+    dys = 0.5 * (at(1, 0) - at(-1, 0))
+    dxx = at(0, 1) - 2 * s0 + at(0, -1)
+    dyy = at(1, 0) - 2 * s0 + at(-1, 0)
+    ox = jnp.clip(-dxs / jnp.where(jnp.abs(dxx) < 1e-6, 1e-6, dxx), -0.5, 0.5)
+    oy = jnp.clip(-dys / jnp.where(jnp.abs(dyy) < 1e-6, 1e-6, dyy), -0.5, 0.5)
+    # NMS zeros the neighbors of weak maxima; refine only where the
+    # parabola is concave (dxx/dyy < 0 gives a maximum)
+    ox = jnp.where(dxx < 0, ox, 0.0)
+    oy = jnp.where(dyy < 0, oy, 0.0)
+    return uv + jnp.stack([ox, oy], -1)
 
 
 def scale_factors(cfg: ExtractorConfig):

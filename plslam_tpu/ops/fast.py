@@ -90,17 +90,23 @@ def border_mask(h: int, w: int, margin: int):
 
 
 def fast_dual_threshold(img, th_high: float, th_low: float, margin: int,
-                        high_bonus: float = 1e6):
+                        high_bonus: float = 1e6, return_raw: bool = False):
     """NMS'd corner score preferring high-threshold corners.
 
     Low-threshold responses are kept but ranked strictly below any
     high-threshold response via an additive bonus — the data-parallel
     equivalent of the 20 -> 7 per-cell fallback in
     `ComputeKeyPointsOctTree` (`src/ORBextractor.cc:790-810`).
+
+    With `return_raw`, also returns the pre-NMS low-threshold score map
+    (sub-pixel refinement needs un-suppressed neighbors).
     """
     s_low = fast_score_map(img, th_low)
     s_high = fast_score_map(img, th_high)
     score = jnp.where(s_high > 0.0, s_low + high_bonus, s_low)
     score = nms3(score)
     h, w = img.shape
-    return jnp.where(border_mask(h, w, margin), score, 0.0)
+    out = jnp.where(border_mask(h, w, margin), score, 0.0)
+    if return_raw:
+        return out, s_low
+    return out
