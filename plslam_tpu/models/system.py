@@ -597,6 +597,15 @@ class System:
               for k in range(min(n, len(self.kf_timestamps)))]
         _write_tum(path, kf)
 
+    def run_global_ba(self):
+        """Full-map bundle adjustment (`GlobalBundleAdjustemnt`,
+        `src/Optimizer.cc:41` — the reference runs it after loop closure;
+        exposed publicly for offline mapping refinement)."""
+        self.ms = self._global_ba(self.ms)
+        if self.n_kf_host > 0:
+            self.T_last = self.ms.kf_T[self.n_kf_host - 1]
+            self.velocity = jnp.eye(4)
+
     def save_map(self, path: str):
         """Map checkpoint (the reference's SaveMap TODO, include/System.h:126)."""
         from ..mapstate import checkpoint
