@@ -58,7 +58,7 @@ class SLAMConfig:
     # policy
     min_init_matches: int = 100
     min_track_inliers: int = 10
-    kf_min_interval: int = 2  # mapper-idle rate limit equivalent
+    kf_min_interval: int = 3  # mapper-idle rate limit equivalent
     kf_max_interval: int = 10
     kf_ref_ratio: float = 0.9
     ba_window: int = 8
@@ -222,6 +222,7 @@ class System:
         self.frame_id = -1
         self.n_kf_host = 0
         self.last_kf_frame = -1
+        self.last_reloc_frame = -10**9
         self.ref_kf_matches = 0
         self._init_feats = None
         self._init_lfeats = None
@@ -494,6 +495,7 @@ class System:
             self.state = OK
             self.velocity = jnp.eye(4)
             self.T_last = rT
+            self.last_reloc_frame = self.frame_id
             self.trajectory.append((timestamp, rT))
             self.stats.append({"inliers": int(rn), "kf": False,
                                "lost": False, "reloc": True})
@@ -513,13 +515,26 @@ class System:
         keyframe (or a hard max interval)."""
         since = self.frame_id - self.last_kf_frame
         n_kf = self.n_kf_host
+        # no keyframes right after relocalization (src/Tracking.cc:1588):
+        # the map statistics collected while lost are unreliable
+        if self.frame_id - self.last_reloc_frame < 2 * self.cfg.kf_max_interval:
+            return False
         if n_kf >= self.map_cfg.max_kf - 1:
             return False
-        # reference semantics: compare inliers against the ref KF's points
-        # with >= 3 observations (NOT all matches) — `NeedNewKeyFrame` c2
-        weak = n_inl < self.cfg.kf_ref_ratio * max(nref3, 15)
+        # reference semantics (`NeedNewKeyFrame` c2): tracking is weak when
+        # inliers fall below kf_ref_ratio of the reference keyframe's count.
+        # Mature maps use the ref KF's >=3-observation landmark count
+        # (KeyFrame::TrackedMapPoints(3)); young maps (depth bootstraps
+        # create n_obs=1 landmarks, so nref3 ~ 0) compare against the
+        # inlier count STORED AT THE LAST KEYFRAME — the decay-by-10% test.
+        ref_base = nref3 if nref3 >= 30 else max(self.ref_kf_matches, 15)
+        weak = n_inl < self.cfg.kf_ref_ratio * ref_base
+        # sensor-aware cadence: depth sensors create landmarks without
+        # baseline (dense keyframing helps); monocular triangulation needs
+        # baseline (dense keyframing produces shallow-parallax landmarks)
+        min_iv = 1 if self._kp_depth is not None else self.cfg.kf_min_interval
         need = (since >= self.cfg.kf_max_interval) or (
-            since >= self.cfg.kf_min_interval and weak and n_inl > 15)
+            since >= min_iv and weak and n_inl > 15)
         if not need:
             return False
 
