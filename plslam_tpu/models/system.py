@@ -539,30 +539,18 @@ class System:
             return False
 
         k_new = n_kf
-        ms = self._insert_kf(self.ms, feats, res.T, res.matched_pt,
-                             jnp.int32(self.frame_id),
-                             lfeats=lfeats, matched_ln=res.matched_ln)
-        # triangulate vs previous keyframe, then the one before (3-view span)
-        ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 1))
-        if k_new >= 2:
-            ms = self._create_points(ms, jnp.int32(k_new), jnp.int32(k_new - 2))
-        if getattr(self, "_kp_depth", None) is not None:
-            ms = self._create_depth_points(ms, jnp.int32(k_new), self._kp_depth)
-        if self.cfg.use_lines and lfeats is not None:
-            # multiple baselines: consecutive KFs rarely give lines enough
-            # plane parallax (the reference matches against its top-10
-            # covisible KFs, src/LocalMapping.cc:961)
-            ms = self._create_lines(ms, jnp.int32(k_new), jnp.int32(k_new - 1))
-            for back in (2, 3):
-                if k_new >= back:
-                    ms = self._create_lines(ms, jnp.int32(k_new),
-                                            jnp.int32(k_new - back))
-        ms = self._fuse(ms)
-        ms = self._local_ba(ms)
-        ms = self._cull(ms, jnp.int32(k_new))
-        if k_new % 4 == 3:  # periodic keyframe culling
-            ms = self._cull_kf(ms, jnp.int32(k_new))
-        self.ms = ms
+        # the whole keyframe chain (insert -> triangulate points x2 baselines
+        # -> lines x3 baselines -> depth creation -> fuse -> local BA -> cull
+        # -> periodic KF cull) as ONE donated program: XLA aliases the
+        # intermediates in HBM instead of materializing the full MapState at
+        # ~10 program boundaries (mapping.process_keyframe docstring).
+        use_depth = getattr(self, "_kp_depth", None) is not None
+        kp_depth = self._kp_depth if use_depth else jnp.zeros(
+            (self.map_cfg.n_kp,), jnp.float32)
+        self.ms = self._process_kf[use_depth](
+            self.ms, feats, lfeats, res.T, res.matched_pt, res.matched_ln,
+            jnp.int32(self.frame_id), kp_depth,
+            do_kf_cull=jnp.bool_(k_new % 4 == 3))
         self.n_kf_host = n_kf + 1
         if self.loop_closer is not None and k_new % 2 == 0:
             # every 2nd keyframe: detection costs a covisibility readback

@@ -35,6 +35,22 @@ def _shift2d(img, dy: int, dx: int):
     return out
 
 
+def _arc_ok(mask):
+    """Cyclic contiguous-run-of-ARC_LEN test over the 16-mask ring via
+    pointer doubling: run lengths 2 -> 4 -> 8 -> 9 in log steps (64 ANDs
+    instead of the naive 16x8=128), then OR over start positions."""
+    # r_k[s] = AND of mask[s..s+k-1] (cyclic)
+    r2 = [mask[s] & mask[(s + 1) % 16] for s in range(16)]
+    r4 = [r2[s] & r2[(s + 2) % 16] for s in range(16)]
+    r8 = [r4[s] & r4[(s + 4) % 16] for s in range(16)]
+    assert ARC_LEN == 9
+    r9 = [r8[s] & mask[(s + 8) % 16] for s in range(16)]
+    acc = r9[0]
+    for s in range(1, 16):
+        acc = acc | r9[s]
+    return acc
+
+
 def fast_score_map(img, threshold: float):
     """Dense FAST-9/16 corner score. img: (H, W) float32 -> (H, W) float32.
 
@@ -50,19 +66,8 @@ def fast_score_map(img, threshold: float):
     bright = diff > threshold
     dark = diff < -threshold
 
-    def arc_ok(mask):
-        # contiguous run of ARC_LEN among 16 (cyclic): AND of 9 cyclically
-        # shifted masks, OR over the 16 start positions.
-        acc = jnp.zeros_like(mask[0], dtype=bool)
-        for s in range(16):
-            run = mask[s]
-            for j in range(1, ARC_LEN):
-                run = run & mask[(s + j) % 16]
-            acc = acc | run
-        return acc
-
-    is_bright = arc_ok(bright)
-    is_dark = arc_ok(dark)
+    is_bright = _arc_ok(list(bright))
+    is_dark = _arc_ok(list(dark))
     sb = jnp.sum(jnp.where(bright, diff - threshold, 0.0), axis=0)
     sd = jnp.sum(jnp.where(dark, -diff - threshold, 0.0), axis=0)
     score = jnp.maximum(jnp.where(is_bright, sb, 0.0), jnp.where(is_dark, sd, 0.0))
@@ -100,10 +105,29 @@ def fast_dual_threshold(img, th_high: float, th_low: float, margin: int,
 
     With `return_raw`, also returns the pre-NMS low-threshold score map
     (sub-pixel refinement needs un-suppressed neighbors).
+
+    The ring-difference stack is computed ONCE and shared by both thresholds
+    and both polarities (it is the dominant HBM traffic of extraction); the
+    high threshold only contributes its arc-test flag — its score value is
+    never used, so its polarity sums are skipped entirely.
     """
-    s_low = fast_score_map(img, th_low)
-    s_high = fast_score_map(img, th_high)
-    score = jnp.where(s_high > 0.0, s_low + high_bonus, s_low)
+    ring = jnp.stack(
+        [_shift2d(img, -int(dy), -int(dx)) for dy, dx in RING_OFFSETS], axis=0)
+    diff = ring - img[None]
+
+    bright_lo = diff > th_low
+    dark_lo = diff < -th_low
+    is_bright_lo = _arc_ok(list(bright_lo))
+    is_dark_lo = _arc_ok(list(dark_lo))
+    sb = jnp.sum(jnp.where(bright_lo, diff - th_low, 0.0), axis=0)
+    sd = jnp.sum(jnp.where(dark_lo, -diff - th_low, 0.0), axis=0)
+    s_low = jnp.maximum(jnp.where(is_bright_lo, sb, 0.0),
+                        jnp.where(is_dark_lo, sd, 0.0))
+
+    # high-threshold arc flag only (its numeric score is unused)
+    hi = _arc_ok([d > th_high for d in diff]) | _arc_ok(
+        [d < -th_high for d in diff])
+    score = jnp.where(hi & (s_low > 0.0), s_low + high_bonus, s_low)
     score = nms3(score)
     h, w = img.shape
     out = jnp.where(border_mask(h, w, margin), score, 0.0)

@@ -161,8 +161,11 @@ def detect_lines(img, n_out: int = 256, block: int = 8,
     prv = jnp.where(prv_ok, prv, jnp.arange(nb))
 
     # --- chain roots by pointer doubling on prv ---
+    # chains are bounded by the block-grid diagonal, not nb: doubling depth
+    # log2(diag) suffices (each extra step is a serial (nb,) gather)
     root = prv
-    steps = int(np.ceil(np.log2(max(nb, 2))))
+    diag = float(np.hypot(gb[0], gb[1]))
+    steps = int(np.ceil(np.log2(max(diag, 2.0)))) + 1
     for _ in range(steps):
         root = root[root]
     root = jnp.where(is_line_f, root, nb)  # non-line blocks -> dump slot
@@ -250,7 +253,11 @@ def detect_lines(img, n_out: int = 256, block: int = 8,
     nrm = jnp.maximum(jnp.linalg.norm(l[:, :2], axis=-1, keepdims=True), 1e-9)
     l2d = l / nrm
 
-    desc = lbd_descriptor(gx, gy, uv_a, uv_b)
+    # descriptor gradients from the smoothed image (the reference computes
+    # LBD on Gaussian-pyramid octaves, binary_descriptor_custom.cpp:350-430)
+    from . import pyramid as _pyr
+    gxs, gys = sobel(_pyr.blur(img, ksize=5, sigma=1.4))
+    desc = lbd_descriptor(gxs, gys, uv_a, uv_b)
     return LineFeatures(
         uv_a=uv_a, uv_b=uv_b, l2d=l2d, angle=ang, length=ll,
         response=ll / float(max(H, W)), desc=desc, valid=valid)
@@ -305,23 +312,18 @@ def lbd_descriptor(gx, gy, uv_a, uv_b):
     base = (mid[:, None, None, :]
             + (t[None, None, :, None] * win[:, None, None, None]) * dpar[:, None, None, :])
     pos = base + bands[None, :, None, None] * dperp[:, None, None, :]
-    px = jnp.clip(pos[..., 0], 0, W - 2)
-    py = jnp.clip(pos[..., 1], 0, H - 2)
-    x0 = px.astype(jnp.int32)
-    y0 = py.astype(jnp.int32)
-    fx = px - x0
-    fy = py - y0
+    px = jnp.clip(pos[..., 0] + 0.5, 0, W - 2)
+    py = jnp.clip(pos[..., 1] + 0.5, 0, H - 2)
 
-    def bilinear(im):
-        i00 = im[y0, x0]
-        i01 = im[y0, x0 + 1]
-        i10 = im[y0 + 1, x0]
-        i11 = im[y0 + 1, x0 + 1]
-        return (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy)
-                + i10 * (1 - fx) * fy + i11 * fx * fy)
-
-    sgx = bilinear(gx)  # (M, B, S)
-    sgy = bilinear(gy)
+    # Nearest sampling on the (already octave-smoothed) gradient fields via
+    # ONE packed tile-row gather (orb.tile_sample_nearest) — bilinear element
+    # gathers here were the hottest stage of line extraction on TPU (the
+    # sub-pixel offset it discarded is far below the band statistics' 7px
+    # granularity; the 24-sample band mean averages the residual noise).
+    tg = orb.pack_tiles_pair(gx, gy)
+    sg = orb.tile_sample_nearest(tg, px, py)          # (M, B, S, 2)
+    sgx = sg[..., 0]
+    sgy = sg[..., 1]
     g_par = sgx * dpar[:, None, None, 0] + sgy * dpar[:, None, None, 1]
     g_perp = sgx * dperp[:, None, None, 0] + sgy * dperp[:, None, None, 1]
 

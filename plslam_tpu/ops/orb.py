@@ -1,9 +1,26 @@
 """Oriented binary descriptors: IC-angle orientation + steered binary tests.
 
 TPU-native counterpart of `IC_Angle` (`src/ORBextractor.cc:77-104`) and
-`computeOrbDescriptor` (`:108-147`).  Patches for all keypoints of a level
-are gathered at once and the 256 binary tests evaluate as a batched gather +
-compare — no per-keypoint host loop.
+`computeOrbDescriptor` (`:108-147`).
+
+Design note (what makes this fast on TPU): arbitrary per-keypoint pixel
+access is the enemy — XLA lowers element gathers at ~150M elem/s and
+vmapped `dynamic_slice` to a serial DMA loop (~2us/keypoint), which made
+descriptor sampling the hottest stage of the whole frame. Both are replaced
+by an 8x8-tile decomposition: the image is laid out as (H/8*W/8, 64) tile
+rows once per frame, each keypoint fetches the 5x5 tile block covering its
+patch with ONE row gather (row gathers are near-bandwidth on TPU), and all
+per-pixel addressing after that is dense vector/matrix arithmetic:
+
+- IC angle: moments of the 40x40 tile-aligned patch against iota-built
+  circular masks (pure VPU).
+- Descriptor: the keypoint angle is quantized to 30 bins of 12 deg (the
+  quantization proposed with rBRIEF; the reference's rotation histogram
+  uses the same 30-bin resolution, `src/ORBmatcher.cc:37-39`) and all 256
+  comparisons for ALL bins evaluate as one (K, 961) @ (961, 30*256) +/-1
+  matmul on the MXU; the keypoint's bin is then selected with a tiny
+  einsum. Integer-valued images make the bf16 matmul exact (values <= 255
+  and each column has exactly one +1 and one -1).
 
 The 256-pair sampling pattern is our own deterministic Gaussian pattern
 (generated from a fixed seed, sigma = patch/5, the construction from the
@@ -21,8 +38,9 @@ import jax.numpy as jnp
 HALF_PATCH = 15          # IC-angle circular patch radius (reference: 15)
 DESC_BITS = 256
 PATTERN_CLIP = 13        # pattern coords in [-13, 13] like bit_pattern_31_
-SAMPLE_RADIUS = 19       # max |rotated offset| = ceil(13*sqrt(2)) -> 19
-PATCH = 2 * SAMPLE_RADIUS + 1
+N_ANGLE_BINS = 30        # 12 deg bins (rBRIEF quantization)
+TILE = 8
+PATCH40 = 40             # 5x5 tiles cover a 31x31 patch at any 8-alignment
 
 
 def _make_pattern(seed: int = 20260816) -> np.ndarray:
@@ -36,18 +54,175 @@ def _make_pattern(seed: int = 20260816) -> np.ndarray:
 
 PATTERN = _make_pattern()
 
-# Circular-patch mask for IC angle (radius HALF_PATCH), plus coordinate grids.
-_yy, _xx = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
-_CIRC_MASK = (_yy * _yy + _xx * _xx <= HALF_PATCH * HALF_PATCH).astype(np.float32)
-_IC_X = (_xx * _CIRC_MASK).astype(np.float32)
-_IC_Y = (_yy * _CIRC_MASK).astype(np.float32)
+
+def _binned_test_matrix() -> np.ndarray:
+    """(961, N_ANGLE_BINS*256) float32 +/-1 sampling matrix: column (b, i)
+    has +1 at the bin-b-rotated B position of pair i and -1 at A, so
+    patch @ M = I(B_rot) - I(A_rot) for every bin at once; bit = diff > 0."""
+    M = np.zeros((31 * 31, N_ANGLE_BINS * DESC_BITS), np.float32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        for which, sign in ((0, -1.0), (2, +1.0)):  # A -> -1, B -> +1
+            px = PATTERN[:, which].astype(np.float64)
+            py = PATTERN[:, which + 1].astype(np.float64)
+            rx = np.clip(np.round(px * c - py * s), -HALF_PATCH, HALF_PATCH)
+            ry = np.clip(np.round(px * s + py * c), -HALF_PATCH, HALF_PATCH)
+            p = ((ry + HALF_PATCH) * 31 + (rx + HALF_PATCH)).astype(np.int64)
+            M[p, b * DESC_BITS + np.arange(DESC_BITS)] += sign
+    return M
+
+
+_BIN_M_NP: np.ndarray | None = None
+
+
+def _bin_matrix():
+    # cache the HOST array only: caching a jnp value would capture a tracer
+    # when first touched inside a jit trace
+    global _BIN_M_NP
+    if _BIN_M_NP is None:
+        _BIN_M_NP = _binned_test_matrix().astype(np.float32)
+    return jnp.asarray(_BIN_M_NP, jnp.bfloat16)
+
+
+# ----------------------------------------------------------------------
+# Tile-gather primitives
+# ----------------------------------------------------------------------
+
+def image_tiles(img):
+    """(H, W) -> ((T, 64) tile rows, padded H, padded W). Zero pad to
+    multiples of TILE; tile t = (ty * (Wp/8) + tx) holds the 8x8 block."""
+    h, w = img.shape
+    hp = -(-h // TILE) * TILE
+    wp = -(-w // TILE) * TILE
+    if (hp, wp) != (h, w):
+        img = jnp.pad(img, ((0, hp - h), (0, wp - w)))
+    t = img.reshape(hp // TILE, TILE, wp // TILE, TILE)
+    return t.transpose(0, 2, 1, 3).reshape(-1, TILE * TILE), hp, wp
+
+
+def gather_patches40(img, uv):
+    """Fetch 8-aligned (K, 40, 40) patches covering the 31x31 neighborhoods
+    of integer keypoints via one tile-row gather.
+
+    Returns (patches, oy, ox) where (oy, ox) locate the patch's 31x31
+    logical window: patch[oy + r, ox + c] = img[y - 15 + r, x - 15 + c]."""
+    tiles, hp, wp = image_tiles(img)
+    ntx = wp // TILE
+    x = uv[:, 0].astype(jnp.int32)
+    y = uv[:, 1].astype(jnp.int32)
+    yq = jnp.clip((y - HALF_PATCH) & ~(TILE - 1), 0, hp - PATCH40)
+    xq = jnp.clip((x - HALF_PATCH) & ~(TILE - 1), 0, wp - PATCH40)
+    oy = jnp.clip(y - HALF_PATCH - yq, 0, PATCH40 - 31)
+    ox = jnp.clip(x - HALF_PATCH - xq, 0, PATCH40 - 31)
+    d = jnp.arange(5)
+    ti = ((yq[:, None, None] // TILE + d[None, :, None]) * ntx
+          + (xq[:, None, None] // TILE + d[None, None, :]))   # (K, 5, 5)
+    g = tiles[ti.reshape(-1)]                                  # (K*25, 64)
+    k = uv.shape[0]
+    p = g.reshape(k, 5, 5, TILE, TILE).transpose(0, 1, 3, 2, 4)
+    return p.reshape(k, PATCH40, PATCH40), oy, ox
+
+
+def tile_sample_nearest(tiles_and_shape, xs, ys):
+    """Nearest-pixel sampling of arbitrary positions from tiled image(s).
+
+    `tiles_and_shape` = (tiles (T, 64*C), hp, wp) from `image_tiles` of one
+    image or a channel-concatenated pair; xs/ys any shape of float pixel
+    coords. Returns samples of shape xs.shape (+ (C,) if C > 1): one row
+    gather + an iota one-hot contraction instead of element gathers."""
+    tiles, hp, wp = tiles_and_shape
+    ntx = wp // TILE
+    c = tiles.shape[1] // (TILE * TILE)
+    shp = xs.shape
+    xi = jnp.clip(xs.astype(jnp.int32), 0, wp - 1).reshape(-1)
+    yi = jnp.clip(ys.astype(jnp.int32), 0, hp - 1).reshape(-1)
+    ti = (yi // TILE) * ntx + (xi // TILE)
+    rows = tiles[ti]                                   # (S, 64*C)
+    o = (yi % TILE) * TILE + (xi % TILE)               # (S,)
+    sel = (jnp.arange(TILE * TILE)[None, :] == o[:, None]).astype(rows.dtype)
+    if c == 1:
+        return jnp.sum(rows * sel, axis=-1).reshape(shp)
+    vals = jnp.einsum("sco,so->sc", rows.reshape(-1, c, TILE * TILE), sel)
+    return vals.reshape(shp + (c,))
+
+
+def pack_tiles_pair(im_a, im_b):
+    """Tile two same-shape images into one (T, 128) row array so ONE gather
+    fetches both channels (used for gx/gy sampling in the line descriptor)."""
+    ta, hp, wp = image_tiles(im_a)
+    tb, _, _ = image_tiles(im_b)
+    return jnp.concatenate([ta, tb], axis=1), hp, wp
+
+
+# ----------------------------------------------------------------------
+# IC angle + steered descriptor
+# ----------------------------------------------------------------------
+
+def _window_grids(oy, ox):
+    """Per-keypoint (K, 40) dy/dx coordinate grids relative to the keypoint
+    center, given the 31x31 window offset inside the 40x40 patch."""
+    i40 = jnp.arange(PATCH40, dtype=jnp.int32)
+    dy = i40[None, :] - oy[:, None] - HALF_PATCH     # (K, 40)
+    dx = i40[None, :] - ox[:, None] - HALF_PATCH
+    return dy, dx
+
+
+def ic_angle(img, uv):
+    """Intensity-centroid orientation for keypoints. Returns (K,) radians.
+
+    cf `IC_Angle` (`src/ORBextractor.cc:77`): angle = atan2(m01, m10) over a
+    radius-15 circular patch. Moments are masked sums over the tile-aligned
+    patch — no per-pixel gathers."""
+    patches, oy, ox = gather_patches40(img, uv)       # (K, 40, 40)
+    dy, dx = _window_grids(oy, ox)
+    r2 = (dy * dy)[:, :, None] + (dx * dx)[:, None, :]
+    mask = (r2 <= HALF_PATCH * HALF_PATCH).astype(img.dtype)
+    wp = patches * mask
+    m10 = jnp.sum(wp * dx[:, None, :], axis=(1, 2))
+    m01 = jnp.sum(wp * dy[:, :, None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def steered_descriptor(img_blur, uv, angle):
+    """256-bit steered binary descriptor. Returns (K, 256) uint8 bits.
+
+    cf `computeOrbDescriptor` (`src/ORBextractor.cc:108`): pattern points
+    rotated by the keypoint angle (quantized to 12-deg bins, see module
+    docstring), sampled nearest from the blurred image, bit = I(a) < I(b).
+    Evaluated as one MXU matmul over all bins + a bin-select einsum."""
+    k = uv.shape[0]
+    patches, oy, ox = gather_patches40(img_blur, uv)  # (K, 40, 40)
+    # integer-valued images keep the bf16 pipeline exact (<= 255, and the
+    # matmul output I(b) - I(a) stays an integer in [-255, 255])
+    p40 = jnp.round(patches).astype(jnp.bfloat16)
+
+    # select the 31x31 window: two batched one-hot contractions (y then x)
+    i40 = jnp.arange(PATCH40, dtype=jnp.int32)
+    i31 = jnp.arange(31, dtype=jnp.int32)
+    sel_y = (i40[None, None, :] == oy[:, None, None] + i31[None, :, None]
+             ).astype(jnp.bfloat16)                   # (K, 31, 40)
+    sel_x = (i40[None, None, :] == ox[:, None, None] + i31[None, :, None]
+             ).astype(jnp.bfloat16)                   # (K, 31, 40)
+    t = jnp.einsum("kyx,kzy->kzx", p40, sel_y)        # (K, 31, 40)
+    p31 = jnp.einsum("kzx,kcx->kzc", t, sel_x)        # (K, 31, 31)
+
+    diffs = jax.lax.dot(p31.reshape(k, 31 * 31), _bin_matrix(),
+                        preferred_element_type=jnp.bfloat16)   # (K, 30*256)
+    step = 2.0 * jnp.pi / N_ANGLE_BINS
+    b = jnp.floor(jnp.mod(angle, 2.0 * jnp.pi) / step + 0.5
+                  ).astype(jnp.int32) % N_ANGLE_BINS
+    onehot = (jnp.arange(N_ANGLE_BINS)[None, :] == b[:, None]
+              ).astype(jnp.bfloat16)                  # (K, 30)
+    d = jnp.einsum("kbi,kb->ki", diffs.reshape(k, N_ANGLE_BINS, DESC_BITS),
+                   onehot)
+    return (d > 0).astype(jnp.uint8)
 
 
 def gather_patches(img, uv, radius: int):
-    """Gather (K, 2r+1, 2r+1) patches centered at integer keypoints.
-
-    uv: (K, 2) float (x, y). Start indices are clamped so gathers stay in
-    bounds (selection already enforces a border margin)."""
+    """Gather (K, 2r+1, 2r+1) patches centered at integer keypoints (exact
+    variant used by tests/offline tools; the hot paths use
+    `gather_patches40`)."""
     h, w = img.shape
     size = 2 * radius + 1
     x0 = jnp.clip(uv[:, 0].astype(jnp.int32) - radius, 0, w - size)
@@ -57,48 +232,6 @@ def gather_patches(img, uv, radius: int):
         return jax.lax.dynamic_slice(img, (y, x), (size, size))
 
     return jax.vmap(one)(y0, x0)
-
-
-def ic_angle(img, uv):
-    """Intensity-centroid orientation for keypoints. Returns (K,) radians.
-
-    cf `IC_Angle` (`src/ORBextractor.cc:77`): angle = atan2(m01, m10) over a
-    radius-15 circular patch."""
-    patches = gather_patches(img, uv, HALF_PATCH)  # (K, 31, 31)
-    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_IC_X))
-    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_IC_Y))
-    return jnp.arctan2(m01, m10)
-
-
-def steered_descriptor(img_blur, uv, angle):
-    """256-bit steered binary descriptor. Returns (K, 256) uint8 bits.
-
-    cf `computeOrbDescriptor` (`src/ORBextractor.cc:108`): pattern points are
-    rotated by the keypoint angle, sampled (nearest) from the blurred image,
-    bit = I(p_a) < I(p_b).
-
-    Samples gather DIRECTLY from the flattened image (K x 512 elements)
-    instead of extracting K 39x39 patches first (K x 1521 elements) — the
-    patch variant was the single hottest stage of extraction on TPU."""
-    h, w = img_blur.shape
-    flat = img_blur.reshape(-1)
-    k = uv.shape[0]
-    x0 = uv[:, 0].astype(jnp.int32)
-    y0 = uv[:, 1].astype(jnp.int32)
-
-    pat = jnp.asarray(PATTERN, jnp.float32)  # (256, 4)
-    c, s = jnp.cos(angle), jnp.sin(angle)    # (K,)
-
-    def sample(px, py):
-        rx = jnp.round(px[None, :] * c[:, None] - py[None, :] * s[:, None]).astype(jnp.int32)
-        ry = jnp.round(px[None, :] * s[:, None] + py[None, :] * c[:, None]).astype(jnp.int32)
-        X = jnp.clip(x0[:, None] + rx, 0, w - 1)
-        Y = jnp.clip(y0[:, None] + ry, 0, h - 1)
-        return flat[(Y * w + X).reshape(-1)].reshape(k, -1)
-
-    ia = sample(pat[:, 0], pat[:, 1])
-    ib = sample(pat[:, 2], pat[:, 3])
-    return (ia < ib).astype(jnp.uint8)
 
 
 def pack_bits(bits):

@@ -36,7 +36,19 @@ def select_grid_topk(score, n_out: int, cell: int = 32, k_per_cell: int = 8):
     cells = s.reshape(gy, cell, gx, cell).transpose(0, 2, 1, 3).reshape(gy * gx, cell * cell)
 
     k = min(k_per_cell, cell * cell)
-    vals, idx = jax.lax.top_k(cells, k)  # (C, k) descending
+    # iterative masked argmax instead of lax.top_k: the TopK custom-call was
+    # the largest op of extraction after the gather rewrite (sort network on
+    # (C, cell^2)); k rounds of argmax + mask are plain VPU reductions
+    vals_l, idx_l = [], []
+    c = cells
+    iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+    for _ in range(k):
+        i = jnp.argmax(c, axis=1)
+        vals_l.append(jnp.max(c, axis=1))
+        idx_l.append(i)
+        c = jnp.where(iota == i[:, None], -jnp.inf, c)
+    vals = jnp.stack(vals_l, axis=1)     # (C, k) descending
+    idx = jnp.stack(idx_l, axis=1)
 
     # Global coordinates of each candidate.
     cy = jax.lax.broadcasted_iota(jnp.int32, (gy * gx, k), 0) // gx
