@@ -1,9 +1,17 @@
-"""Benchmark: end-to-end monocular tracking throughput on one TPU chip.
+"""Benchmark: end-to-end monocular SLAM throughput on one TPU chip.
 
-Runs the full System (extract -> match-vs-map -> staged-LM pose opt, with
-keyframing + triangulation + local BA at keyframes) over a rendered
-640x480 synthetic sequence (TUM-like content; no datasets ship in this
-environment) and reports steady-state tracked frames/sec per chip.
+Measures, on a rendered 640x480 synthetic sequence (no datasets ship in
+this environment):
+
+1. `full_slam_fps` — a FRESH System over the sequence: tracking +
+   keyframes + triangulation + local BA + culling + loop detection, all on
+   one chip. This is the honest end-to-end number (the reference runs
+   mapping on separate CPU threads; here the device queue pipelines it).
+2. headline — steady-state tracking throughput in NORMAL mode (no
+   localization_only flag): the map is built and keyframe cadence has
+   saturated, matching mono_tum.cc's median-track-time metric (mapping off
+   the critical path).
+3. batched 16-stream aggregate via BatchedTracker (BASELINE config 5).
 
 Baseline: the reference claims real-time tracking — >= 30 fps on TUM on an
 i7 (`/root/reference/README.md:15`; `BASELINE.md`). vs_baseline = fps / 30.
@@ -31,88 +39,90 @@ def main():
         fx=500.0, fy=500.0, cx=320.0, cy=240.0,
         k1=0, k2=0, p1=0, p2=0, k3=0,
         n_features=1024, n_levels=8,
-        max_kf=24, max_pt=8192, ba_window=6, ba_points=2048,
+        max_kf=32, max_pt=8192, ba_window=6, ba_points=2048,
         kf_max_interval=6, async_pipeline=True, async_depth=4,
+        grow_map=False,
     )
     slam = System(cfg)
 
-    # warmup/compile on the first frames (init + first KFs trigger all paths)
     # The reference's throughput metric excludes image loading (mono_tum.cc
     # times TrackMonocular only, after imread). Equivalent here: frames are
     # pre-staged on device (in production an async input pipeline hides the
     # transfer); upload-included numbers are reported in `extra`.
-    import jax
     frames_u8 = [f.astype(np.uint8) for f in frames]
     frames_dev = [jax.device_put(f) for f in frames_u8]
     jax.block_until_ready(frames_dev[-1])
+
+    # --- warmup: compile every program (tracking, KF chain, loop detect) ---
     for i, img in enumerate(frames_dev):
         slam.track_monocular(img, i / 30.0)
     slam.flush()
-
-    # --- headline: steady-state TRACKING throughput (reference-metric
-    # parity: mono_tum.cc's median tracking time excludes image loading AND
-    # the mapping thread's BA — here mapping is paused the same way via
-    # localization mode). Wall time of the whole pass with a hard end sync.
     jax.block_until_ready(slam.T_last)
-    slam.cfg.localization_only = True
-    n_steady = n_frames
-    t0 = time.perf_counter()
-    for j, i in enumerate(reversed(range(n_frames))):
-        slam.track_monocular(frames_dev[i], 10.0 + j / 30.0)
-    slam.flush()
-    jax.block_until_ready(slam.T_last)
-    wall = time.perf_counter() - t0
-    med = wall / n_steady
-    fps = n_steady / wall
-    slam.cfg.localization_only = False
 
-    # --- full pipeline (tracking + keyframes + triangulation + local BA +
-    # culling + loop detection, all serialized on one chip) ---
+    # --- 1) full SLAM from scratch (fresh map, same compiled programs) ---
+    slam.reset()
     t0 = time.perf_counter()
-    for j in range(n_frames):
-        slam.track_monocular(frames_dev[j], 40.0 + j / 30.0)
+    for i, img in enumerate(frames_dev):
+        slam.track_monocular(img, 10.0 + i / 30.0)
     slam.flush()
     jax.block_until_ready(slam.T_last)
     full_wall = time.perf_counter() - t0
     full_fps = n_frames / full_wall
+    n_kf = slam.n_keyframes()
+    n_pts = slam.n_map_points()
+
+    ate = float("nan")
+    try:
+        est = {ts: T for ts, T in slam.trajectory}
+        idx = [i for i in range(n_frames) if (10.0 + i / 30.0) in est]
+        if len(idx) > 10:
+            T_est = np.stack([est[10.0 + i / 30.0] for i in idx])
+            ate = synthetic.ate_rmse(T_est, Ts_gt[idx])
+    except Exception:
+        pass
+
+    # --- 2) headline: steady-state tracking, NORMAL mode (map saturated,
+    # keyframe cadence idle) — reference-metric parity with mono_tum.cc's
+    # median tracking time (mapping runs off the tracking thread there) ---
+    for j in range(8):  # settle
+        slam.track_monocular(frames_dev[j % n_frames], 40.0 + j / 30.0)
+    slam.flush()
+    jax.block_until_ready(slam.T_last)
+    t0 = time.perf_counter()
+    n_steady = n_frames
+    for j in range(n_steady):
+        slam.track_monocular(frames_dev[j % n_frames], 50.0 + j / 30.0)
+    slam.flush()
+    jax.block_until_ready(slam.T_last)
+    wall = time.perf_counter() - t0
+    fps = n_steady / wall
+    kf_in_steady = sum(1 for s in slam.stats[-n_steady:] if s.get("kf"))
 
     # upload-included throughput (host-memory frames through the same pass)
     t0 = time.perf_counter()
     n_up = 20
     for j in range(n_up):
         slam.track_monocular(frames_u8[(n_frames - 1 - j) % n_frames],
-                             20.0 + j / 30.0)
+                             70.0 + j / 30.0)
     slam.flush()
     jax.block_until_ready(slam.T_last)
-    up_med = (time.perf_counter() - t0) / n_up
+    up_fps = n_up / (time.perf_counter() - t0)
 
-    # reference-metric parity: MEDIAN per-frame tracking latency with
-    # per-frame sync. The reference reports median track time with mapping
-    # on another thread (mono_tum.cc:112-120) — keyframe/mapping chains land
-    # above the median here too.
+    # per-frame synced latency (median)
     t_lat = []
     for j in range(24):
         t0 = time.perf_counter()
-        slam.track_monocular(frames_dev[j % n_frames], 30.0 + j / 30.0)
+        slam.track_monocular(frames_dev[j % n_frames], 80.0 + j / 30.0)
         slam.flush()
         jax.block_until_ready(slam.T_last)
         t_lat.append(time.perf_counter() - t0)
     lat_med = float(np.median(t_lat))
 
-    ate = float("nan")
-    try:
-        est = {ts: T for ts, T in slam.trajectory}
-        idx = [i for i in range(n_frames) if (i / 30.0) in est]
-        if len(idx) > 10:
-            T_est = np.stack([est[i / 30.0] for i in idx])
-            ate = synthetic.ate_rmse(T_est, Ts_gt[idx])
-    except Exception:
-        pass
-
-    # --- batched multi-stream throughput (BASELINE config 5: 16 streams) ---
+    # --- 3) batched multi-stream (BASELINE config 5: 16 streams/chip) ---
     fps16 = None
     try:
-        fps16 = _bench_multistream(slam, frames_u8, n_streams=16, n_steps=8)
+        fps16 = _bench_multistream(cfg, slam.ms, frames_u8, n_streams=16,
+                                   n_steps=10)
     except Exception:
         pass
 
@@ -122,53 +132,46 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
         "extra": {
-            "median_frame_ms": round(med * 1000, 2),
+            "full_slam_fps": round(full_fps, 2),
+            "median_frame_ms": round(1000.0 / fps, 2),
             "ate_rmse_m": None if np.isnan(ate) else round(ate, 4),
-            "keyframes": slam.n_keyframes(),
-            "map_points": slam.n_map_points(),
+            "keyframes": n_kf,
+            "map_points": n_pts,
+            "kf_made_in_steady_pass": kf_in_steady,
             "frames": n_frames,
             "batched16_total_fps": None if fps16 is None else round(fps16, 1),
-            "upload_included_fps": round(1.0 / up_med, 2) if up_med > 0 else None,
-            "median_track_latency_fps": round(1.0 / lat_med, 2) if lat_med > 0 else None,
-            "full_slam_fps": round(full_fps, 2),
+            "upload_included_fps": round(up_fps, 2),
+            "median_track_latency_fps": round(1.0 / lat_med, 2),
             "device": str(jax.devices()[0]),
         },
     }))
 
 
-def _bench_multistream(slam, frames_u8, n_streams: int = 16, n_steps: int = 8):
-    """Steady-state batched extraction+tracking over n_streams streams —
-    the offline-mapping throughput mode (frames/sec aggregated)."""
+def _bench_multistream(cfg, ms1, frames_u8, n_streams: int = 16,
+                       n_steps: int = 10):
+    """Steady-state batched SLAM over n_streams streams with donated state
+    (BatchedTracker) — the offline-mapping throughput mode. Aggregated
+    frames/sec; keyframe processing on the lockstep cadence included.
+    Streams start from copies of a REAL built map (ms1) so the tracking
+    work is representative."""
     import jax
     import jax.numpy as jnp
-    import time
+    from plslam_tpu.parallel.multistream import BatchedTracker
 
-    ms1 = slam.ms
-
-    def one(img, ms, T_pred):
-        feats, lfeats = slam._extract_impl(img)
-        from plslam_tpu.models import tracking
-        r = tracking.track_local_map(
-            slam.cam, ms, feats, T_pred,
-            scale_factors=slam.scale_factors, sigma2_levels=slam.sigma2,
-            lfeats=lfeats, n_levels=slam.cfg.n_levels,
-            scale=slam.cfg.scale_factor, line_info=slam.cfg.track_line_info)
-        return r.T, r.scalars
-
-    batched = jax.jit(jax.vmap(one))
-    ms_b = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), ms1)
-    T_b = jnp.broadcast_to(jnp.eye(4), (n_streams, 4, 4))
+    bt = BatchedTracker(cfg, n_streams=n_streams, kf_interval=5)
+    bt.bootstrap(jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), ms1))
     k = len(frames_u8) // 2
     imgs = jnp.stack([jnp.asarray(frames_u8[(k + i) % len(frames_u8)])
                       for i in range(n_streams)])
-
-    Ts, sc = batched(imgs, ms_b, T_b)
-    sc.block_until_ready()
+    # warmup: both branches (track-only and track+KF) compile
+    for j in range(6):
+        T, sc = bt.step(imgs)
+    jax.block_until_ready(sc)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        Ts, sc = batched(imgs, ms_b, Ts)
-        _ = np.asarray(sc)  # force completion
+    for j in range(n_steps):
+        T, sc = bt.step(imgs)
+    jax.block_until_ready(sc)
     dt = (time.perf_counter() - t0) / n_steps
     return n_streams / dt
 

@@ -66,6 +66,19 @@ def make_scene(n_lines: int = 48, seed: int = 0, width: int = 640,
         planes.append(plane([-5.5, -4.0, 2.0], [0.08, 0, 1.0], [0, 1, 0], (800, 800)))  # left wall
     elif layout == "wall":
         planes.append(plane([-6.0, -4.5, 6.0], [1, 0, 0], [0, 1, 0], (900, 1200)))
+    elif layout == "box":
+        # 4 walls enclosing the origin (camera circuits inside): the
+        # loop-closure fixture — opposite headings share NO content, so
+        # covisibility breaks mid-circuit and revisits need explicit
+        # place recognition
+        planes.append(plane([-6.0, -4.0, 6.0], [1, 0, 0], [0, 1, 0], (800, 1200)))   # +z
+        planes.append(plane([6.0, -4.0, -6.0], [-1, 0, 0], [0, 1, 0], (800, 1200)))  # -z
+        planes.append(plane([6.0, -4.0, 6.0], [0, 0, -1], [0, 1, 0], (800, 1200)))   # +x
+        planes.append(plane([-6.0, -4.0, -6.0], [0, 0, 1], [0, 1, 0], (800, 1200)))  # -x
+        # floor: without it every revisit view is a single plane and the
+        # loop Sim3 fit is degenerate (scale <-> translation-along-normal
+        # trade-off); the floor makes the closure geometry well-conditioned
+        planes.append(plane([-6.0, 2.5, -6.0], [1, 0, 0], [0, 0, 1], (1200, 1200)))  # floor
     else:
         raise ValueError(layout)
     # normalize axis vectors
@@ -118,6 +131,26 @@ def trajectory(n_frames: int, kind: str = "orbit", amplitude: float = 1.0):
             xi = amplitude * np.array(
                 [0.02 * w, 0.15 * w, 0.01 * w, 1.6 * w, 0.2 * w, 0.3 * w],
                 np.float32)
+        elif kind == "circle":
+            # full 360-degree circuit inside the 'box' scene: the camera
+            # orbits the room center at radius `amplitude`, looking
+            # radially outward. Opposite headings see disjoint walls, so
+            # the final frames REVISIT the first viewpoints with broken
+            # covisibility in between — the canonical explicit-loop-closure
+            # fixture (KITTI-00-style, in miniature).
+            th = 2.0 * np.pi * s
+            r = amplitude
+            C = np.array([r * np.sin(th), 0.0, r * np.cos(th)])  # center
+            # camera axes in world: z = radial out, x = tangent, y = down
+            zax = np.array([np.sin(th), 0.0, np.cos(th)])
+            xax = np.array([np.cos(th), 0.0, -np.sin(th)])
+            yax = np.array([0.0, 1.0, 0.0])
+            R = np.stack([xax, yax, zax])          # world -> cam rows
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = -R @ C
+            Ts.append(T)
+            continue
         else:
             raise ValueError(kind)
         Ts.append(np.asarray(_se3.se3_exp(jnp.asarray(xi))))

@@ -136,6 +136,33 @@ def observers_of_points(ms: MapState):
     return jax.vmap(lambda row, idx, m: row.at[idx].max(m))(inc, safe_idx, obs)
 
 
+def grow(ms: MapState, cfg_new: MapConfig) -> MapState:
+    """Double-and-pad capacity growth (SURVEY §7 hard part 5): copy the
+    current map into freshly-allocated larger-capacity arrays.
+
+    The reference's map grows unboundedly via heap allocation
+    (`src/Map.cc`, `src/KeyFrame.cc`); on TPU the static-shape answer is
+    chunked growth — each growth event re-pads every array and triggers one
+    recompile of the downstream programs (amortized O(log) events over a
+    run; the persistent compilation cache makes repeats free).
+
+    Runs as ONE jitted program on device — map arrays never cross the
+    host<->device link."""
+    new = allocate(cfg_new)
+
+    def copy(dst, src):
+        if getattr(src, "ndim", 0) == 0:
+            return src
+        return dst.at[tuple(slice(0, s) for s in src.shape)].set(src)
+
+    return jax.tree_util.tree_map(copy, new, ms)
+
+
+# no donation: donated buffers can't alias the larger outputs anyway, and
+# the old arrays are freed by refcount right after the copy
+grow_jit = jax.jit(grow, static_argnums=(1,))
+
+
 def append_slots(counter, create_mask, capacity: int):
     """Allocate consecutive slots for masked new items.
 

@@ -47,20 +47,55 @@ class LoopClosing:
         self._local_ba = local_ba_fn  # full-map BA callable(ms) -> ms
         jit = jax.jit if use_jit else (lambda f, **kw: f)
         self._covis = jit(mstate.covisibility)
-        # ONE jitted program for per-keyframe detection inputs (a traced k
-        # keeps it a single compile; eager slicing with python ints would
-        # compile a new program per keyframe id)
-        self._detect_inputs = jit(lambda ms, k: (
-            mstate.covisibility(ms),
-            bow.l1_score(ms.kf_bow[k], ms.kf_bow)))
+        # Candidate selection runs ON DEVICE; the readback is 8 candidate
+        # ids + scores + their (8, K) group-membership rows — NOT the full
+        # (K, K) covisibility matrix (which grows quadratically with map
+        # size while the relay link is the bottleneck). A traced k keeps it
+        # one compile across keyframes.
+        self._detect_inputs = jit(self._detect_inputs_impl)
         self._match_pairs = jit(self._match_pairs_impl)
         self._sim3_stage = jit(self._sim3_stage_impl)
         self._apply_graph = jit(self._apply_graph_impl)
+        # batched relative-Sim3 edge measurements: S_i ∘ S_j^{-1} for all
+        # edges in ONE program (host loops over edges would cost several
+        # device dispatches per edge at K=hundreds)
+        self._rel_edges = jit(lambda kf_T, ei, ej: sim3_mod.compose(
+            sim3_mod.from_se3(kf_T[ei]),
+            sim3_mod.inverse(sim3_mod.from_se3(kf_T[ej]))))
+        self._search_fuse = jit(self._search_fuse_impl)
         # host-side temporal-consistency state
         self.consistent_groups: list[tuple[set, int]] = []
         self.last_loop_kf = -10
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, Sij 7-tuple...)
         self.n_loops = 0
+        # keyframe poses snapshotted immediately before the last accepted
+        # correction — lets tests compare pre- vs post-closure accuracy
+        self.pre_correction_kf_T: Optional[np.ndarray] = None
+        self.post_correction_kf_T: Optional[np.ndarray] = None
+        self.last_closure: Optional[tuple[int, int]] = None
+
+    # ------------------------------------------------------------------
+    def _detect_inputs_impl(self, ms, k, n_cand: int = 8):
+        """Device-side loop-candidate selection (`DetectLoop` +
+        `KeyFrameDatabase::DetectLoopCandidates`, `src/LoopClosing.cc:103`,
+        `src/KeyFrameDatabase.cc:76`): BoW L1 scores gated by the minimum
+        score among covisible keyframes, excluding the covisible set and the
+        recent past; returns the top candidates + their covisibility-group
+        rows for host-side temporal-consistency bookkeeping."""
+        K = ms.kf_valid.shape[0]
+        W = mstate.covisibility(ms)
+        scores = bow.l1_score(ms.kf_bow[k], ms.kf_bow)
+        ids = jnp.arange(K)
+        valid = ms.kf_valid & (ids < ms.n_kf)
+        covis = (W[k] >= 15) & valid
+        min_score = jnp.min(jnp.where(covis, scores, jnp.inf))
+        min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.05)
+        exclude = covis | ~valid | ((ids >= k - 5) & (ids <= k))
+        th = jnp.maximum(min_score, 0.015)
+        cand_score = jnp.where(~exclude & (scores >= th), scores, -1.0)
+        top_sc, top_id = jax.lax.top_k(cand_score, n_cand)
+        group_rows = (W[top_id] > 0) | (ids[None, :] == top_id[:, None])
+        return top_id, top_sc, group_rows
 
     # ------------------------------------------------------------------
     def _match_pairs_impl(self, ms, k, c):
@@ -92,7 +127,7 @@ class LoopClosing:
         s2_2 = self.sigma2[ms.kf_octave[c][idx]]
         return idx, ok, X1, X2, uv1, uv2, s2_1, s2_2
 
-    def _sim3_stage_impl(self, ms, k, c, key):
+    def _sim3_stage_impl(self, ms, k, c, group, key):
         idx, ok, X1, X2, uv1, uv2, s2_1, s2_2 = self._match_pairs_impl(ms, k, c)
         n_matches = jnp.sum(ok.astype(jnp.int32))
         rr = horn.ransac_sim3(key, X1, X2, uv1, uv2, ok, self.cam,
@@ -100,7 +135,76 @@ class LoopClosing:
         res = sim3_opt.optimize_sim3(self.cam, rr.S12, X1, X2, uv1, uv2,
                                      ok & rr.inliers, s2_1, s2_2,
                                      fix_scale=self.fix_scale)
-        return n_matches, rr.ok, res.S12, res.n_inliers
+
+        # SearchBySim3 (`ORBmatcher::SearchBySim3`, `src/ORBmatcher.cc:1199`;
+        # called at `src/LoopClosing.cc:310`): use the refined S12 to GUIDE a
+        # second, wider matching pass between the two keyframes' landmarks,
+        # then re-refine on the enlarged set. A loop edge fit on ~20 RANSAC
+        # inliers is too coarse to correct a whole-map drift; the reference
+        # demands >= 40 matches after this pass (`:375-385`).
+        N = ms.kf_uv.shape[1]
+        P = ms.pt_xyz.shape[0]
+        bound1 = ms.kf_pt_idx[k] >= 0
+        bound2 = ms.kf_pt_idx[c] >= 0
+        p2 = jnp.clip(ms.kf_pt_idx[c], 0, P - 1)
+        X2_all = se3.transform(ms.kf_T[c], ms.pt_xyz[p2])       # cam-c
+        X2in1 = res.S12.s * X2_all @ res.S12.R.T + res.S12.t    # cam-k
+        z = jnp.maximum(X2in1[:, 2], 1e-6)
+        proj = jnp.stack([self.cam.fx * X2in1[:, 0] / z + self.cam.cx,
+                          self.cam.fy * X2in1[:, 1] / z + self.cam.cy], -1)
+        d_px = jnp.linalg.norm(ms.kf_uv[k][:, None, :] - proj[None, :, :],
+                               axis=-1)                          # (N, N)
+        D = hamming.distance_matrix(ms.kf_desc[k], ms.kf_desc[c])
+        radius = 7.5 * jnp.power(1.2, ms.kf_octave[c].astype(jnp.float32))
+        gmask = (bound1[:, None] & bound2[None, :] & (X2in1[:, 2] > 0)[None, :]
+                 & (d_px < radius[None, :]))
+        gidx, gbest, _ = hamming.masked_best2(D, gmask)
+        g_ok = gbest <= 100  # TH_HIGH (src/ORBmatcher.cc:1283)
+        # mutual best to dedup
+        Dm = jnp.where(gmask, D, hamming.INVALID)
+        rev = jnp.argmin(Dm, axis=0)
+        g_ok = g_ok & (rev[gidx] == jnp.arange(N))
+
+        # union with the BoW matches, re-gather pair data for the new idx
+        use_g = g_ok & ~ok
+        idx2 = jnp.where(use_g, gidx, idx)
+        ok2 = ok | use_g
+        p2g = jnp.clip(ms.kf_pt_idx[c][idx2], 0, P - 1)
+        X2u = se3.transform(ms.kf_T[c], ms.pt_xyz[p2g])
+        uv2u = ms.kf_uv[c][idx2]
+        s2_2u = self.sigma2[ms.kf_octave[c][idx2]]
+        res2 = sim3_opt.optimize_sim3(self.cam, res.S12, X1, X2u, uv1, uv2u,
+                                      ok2, s2_1, s2_2u,
+                                      fix_scale=self.fix_scale)
+
+        # Final acceptance count: project the whole LOOP GROUP's landmarks
+        # (candidate + its covisible keyframes — the group row computed at
+        # detection) into keyframe k through the refined S12 and count
+        # matched keypoints (`SearchByProjection(pKF, Scw, vpLoopPoints,..,
+        # 10)`, `src/LoopClosing.cc:375-385`; matcher `src/ORBmatcher.cc:
+        # 329`). The union with the pairwise matches is what the >= 40
+        # gate sees — candidate-only landmarks undercount exactly when
+        # drift is large and the loop is most needed.
+        grp_rows = jnp.where(group[:, None], ms.kf_pt_idx, -1)
+        grp_pts = jnp.zeros((P,), bool).at[
+            jnp.clip(grp_rows, 0, P - 1).reshape(-1)].max(
+            (grp_rows >= 0).reshape(-1)) & ms.pt_valid
+        # world -> cam-c -> (S12) -> cam-k
+        Xw_c = se3.transform(ms.kf_T[c], ms.pt_xyz)             # (P,3) cam-c
+        Xg = res2.S12.s * Xw_c @ res2.S12.R.T + res2.S12.t      # (P,3) cam-k
+        zg = jnp.maximum(Xg[:, 2], 1e-6)
+        pg = jnp.stack([self.cam.fx * Xg[:, 0] / zg + self.cam.cx,
+                        self.cam.fy * Xg[:, 1] / zg + self.cam.cy], -1)
+        d_g = jnp.linalg.norm(ms.kf_uv[k][:, None, :] - pg[None, :, :],
+                              axis=-1)                           # (N, P)
+        Dg = hamming.distance_matrix(ms.kf_desc[k], ms.pt_desc)  # (N, P)
+        rad_k = 10.0 * jnp.power(1.2, ms.kf_octave[k].astype(jnp.float32))
+        pmask = (grp_pts[None, :] & (Xg[:, 2] > 0)[None, :]
+                 & (d_g < rad_k[:, None]))
+        _, pbest, _ = hamming.masked_best2(Dg, pmask)
+        p_ok = pbest <= 50                                       # TH_LOW
+        n_total = jnp.sum((ok2 | p_ok).astype(jnp.int32))
+        return n_total, rr.ok, res2.S12, res2.n_inliers
 
     # ------------------------------------------------------------------
     def _apply_graph_impl(self, ms, nodes_s, nodes_R, nodes_t,
@@ -141,52 +245,84 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def detect(self, ms, k: int) -> list[int]:
-        """BoW candidates with min-covisible-score + consistency grouping."""
+        """BoW candidates with min-covisible-score + consistency grouping.
+        Device selects the candidates; the host only maintains the
+        3-consecutive-keyframe consistency state (a few tiny sets)."""
         if k - self.last_loop_kf < 10:  # src/LoopClosing.cc:114
             return []
-        W, scores = self._detect_inputs(ms, jnp.int32(k))
-        W = np.asarray(W)
-        scores = np.asarray(scores)
-        covis = set(np.nonzero(W[k] >= 15)[0].tolist())
-        n_kf = k + 1
-        if covis:
-            min_score = min(scores[j] for j in covis if j < n_kf)
-        else:
-            min_score = 0.05
-        exclude = covis | {k} | set(range(n_kf, ms.kf_valid.shape[0]))
-        # temporal neighbors are trivially similar — exclude the recent past
-        exclude |= set(range(max(0, k - 5), k))
-        cands = [j for j in range(n_kf)
-                 if j not in exclude and scores[j] >= max(min_score, 0.015)]
-        cands.sort(key=lambda j: -scores[j])
-        cands = cands[:8]
+        top_id, top_sc, group_rows = self._detect_inputs(ms, jnp.int32(k))
+        top_id = np.asarray(top_id)
+        top_sc = np.asarray(top_sc)
+        group_rows = np.asarray(group_rows)
+        cands = [(int(j), group_rows[i])
+                 for i, j in enumerate(top_id) if top_sc[i] > 0]
 
         # consistency across CONSISTENCY_TH consecutive keyframes
         new_groups = []
         consistent_enough = []
-        for j in cands:
-            group = set(np.nonzero(W[j] > 0)[0].tolist()) | {j}
+        for j, row in cands:
+            group = set(np.nonzero(row)[0].tolist()) | {j}
             count = 0
             for prev_group, prev_count in self.consistent_groups:
                 if group & prev_group:
                     count = max(count, prev_count + 1)
             new_groups.append((group, count))
             if count + 1 >= CONSISTENCY_TH:
-                consistent_enough.append(j)
+                consistent_enough.append((j, row))
         self.consistent_groups = new_groups
         return consistent_enough
 
     # ------------------------------------------------------------------
+    def _search_fuse_impl(self, ms, k, c):
+        """`SearchAndFuse` (`src/LoopClosing.cc:587`) after loop correction:
+        project the loop side's map points into the current side's recent
+        keyframes (whose poses were just corrected) and bind them to
+        matching unbound keypoints — densifying cross-loop observations so
+        the subsequent GBA stitches both sides together."""
+        from ..models import mapping as mapping_mod
+        P = ms.pt_xyz.shape[0]
+        K = ms.kf_T.shape[0]
+        # loop-side points: observed by the matched keyframe c (the
+        # reference uses c's covisibility group's points; c's own
+        # observations are the dominant subset)
+        cand = jnp.zeros((P,), bool).at[
+            jnp.clip(ms.kf_pt_idx[c], 0, P - 1)].max(ms.kf_pt_idx[c] >= 0)
+        cand = cand & ms.pt_valid
+        # fuse WITH REPLACE into the current keyframe and its 3
+        # predecessors (the corrected covisibility group); radius 4
+        # (src/LoopClosing.cc:599). Replace semantics — duplicates created
+        # at the revisit are merged into the loop-side originals — are what
+        # couple the loop's two sides for the subsequent global BA.
+        for back in range(4):
+            ms = mapping_mod.loop_fuse(
+                self.cam, ms, jnp.clip(k - back, 0, K - 1), cand, radius=4.0)
+        return ms
+
+    # ------------------------------------------------------------------
     def process_keyframe(self, ms, k: int, seed: int = 0):
-        """Full loop-closing attempt for keyframe k. Returns (ms, closed)."""
+        """Full loop-closing attempt for keyframe k. Returns (ms, closed).
+        On closure the essential-graph correction + SearchAndFuse have run;
+        the caller is responsible for scheduling the (asynchronous) global
+        BA (`RunGlobalBundleAdjustment`, `src/LoopClosing.cc:645`)."""
         candidates = self.detect(ms, k)
-        for c in candidates:
+        for c, group_row in candidates:
             n_matches, ransac_ok, S12, n_inl = self._sim3_stage(
-                ms, jnp.int32(k), jnp.int32(c),
+                ms, jnp.int32(k), jnp.int32(c), jnp.asarray(group_row),
                 jax.random.PRNGKey(seed + self.n_loops))
-            if not bool(ransac_ok) or int(n_inl) < 20:  # src/LoopClosing.cc:329
+            # >= 20 Sim3-opt inliers (src/LoopClosing.cc:329) AND >= 40
+            # total matches after the guided SearchBySim3 pass (:375-385)
+            if not bool(ransac_ok) or int(n_inl) < 20 or int(n_matches) < 40:
                 continue
+            self.pre_correction_kf_T = np.array(ms.kf_T)
+            self.last_closure = (k, c)
             ms = self.correct(ms, k, c, S12)
+            # snapshot right after the essential-graph correction: tests
+            # compare pre vs post to prove the correction itself helps
+            # (the follow-up GBA optimizes reprojection under the GIVEN
+            # intrinsics, so GT improvement is only guaranteed up to the
+            # calibration quality)
+            self.post_correction_kf_T = np.array(ms.kf_T)
+            ms = self._search_fuse(ms, jnp.int32(k), jnp.int32(c))
             self.last_loop_kf = k
             self.n_loops += 1
             return ms, True
@@ -194,60 +330,71 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def correct(self, ms, k: int, c: int, S_kc: Sim3):
-        """Essential-graph correction + global BA."""
+        """Essential-graph correction (`CorrectLoop`, `src/LoopClosing.cc:
+        402-585`). Edge index lists are built on the host (ints only); ALL
+        relative-Sim3 measurements are computed in one batched device
+        program. The follow-up global BA is the caller's responsibility
+        (asynchronous, like the reference's GBA thread)."""
         K = ms.kf_T.shape[0]
         n_kf = int(ms.n_kf)
-        kf_T = np.asarray(ms.kf_T)
 
         # nodes: current poses as Sim3 (scale 1)
-        nodes = sim3_mod.from_se3(jnp.asarray(kf_T))
+        nodes = sim3_mod.from_se3(ms.kf_T)
 
-        # edges: spanning chain + strong covisibility + loop edge(s)
+        # edge indices: spanning tree + strong covisibility + loop edge(s).
+        # Covisibility needs one (K,K) readback — only on actual loop
+        # closures (rare), not per keyframe.
         W = np.asarray(self._covis(ms))
-        ei, ej, ems, emR, emt, ew = [], [], [], [], [], []
-
-        def rel_sim3(i, j):  # S_ij = S_i ∘ S_j^-1 from current poses
-            Si = sim3_mod.from_se3(jnp.asarray(kf_T[i]))
-            Sj = sim3_mod.from_se3(jnp.asarray(kf_T[j]))
-            return sim3_mod.compose(Si, sim3_mod.inverse(Sj))
-
-        def add_edge(i, j, S, w):
-            ei.append(i)
-            ej.append(j)
-            ems.append(float(S.s))
-            emR.append(np.asarray(S.R))
-            emt.append(np.asarray(S.t))
-            ew.append(w)
-
+        # spanning tree: parent = the earlier keyframe with max shared
+        # observations (`KeyFrame::UpdateConnections` first-connection rule,
+        # src/KeyFrame.cc:408-413), falling back to the temporal predecessor
+        # when a culled/disjoint keyframe shares nothing
+        ei, ej, ew = [], [], []
         for i in range(1, n_kf):
-            add_edge(i, i - 1, rel_sim3(i, i - 1), 1.0)  # spanning chain
-        for i in range(n_kf):
-            for j in range(i + 2, n_kf):
-                if W[i, j] >= 100:  # src/Optimizer.cc:2127
-                    add_edge(i, j, rel_sim3(i, j), 1.0)
-        for (i, j, S7) in self.loop_edges:  # previous loops
-            add_edge(i, j, sim3_mod.expmap(jnp.asarray(S7)), 2.0)
-        # the new loop edge: S_kc maps c-frame coords to k-frame coords, so
-        # S_k ∘ S_c^{-1} (the edge measurement convention) equals S_kc
-        add_edge(k, c, S_kc, 2.0)
-        self.loop_edges.append(
-            (k, c, np.asarray(sim3_mod.logmap(S_kc))))
+            p = int(np.argmax(W[i, :i]))
+            if W[i, p] < 15:
+                p = i - 1
+            ei.append(i)
+            ej.append(p)
+            ew.append(1.0)
+        iu, ju = np.nonzero(np.triu(W[:n_kf, :n_kf] >= 100, 2))
+        ei += iu.tolist()
+        ej += ju.tolist()                          # src/Optimizer.cc:2127
+        ew += [1.0] * len(iu)
+        n_rel = len(ei)                            # measured from current poses
 
-        E_cap = max(16, len(ei))
-        pad = E_cap - len(ei)
+        for (i, j, _S7) in self.loop_edges:        # previous loops
+            ei.append(i); ej.append(j); ew.append(2.0)
+        ei.append(k); ej.append(c); ew.append(2.0)  # the new loop edge
+
+        E = len(ei)
+        E_cap = max(16, 1 << (E - 1).bit_length())  # pad: bounded recompiles
+        pad = E_cap - E
         edge_i = jnp.asarray(np.array(ei + [0] * pad, np.int32))
         edge_j = jnp.asarray(np.array(ej + [0] * pad, np.int32))
-        em_s = jnp.asarray(np.array(ems + [1.0] * pad, np.float32))
-        em_R = jnp.asarray(np.stack(emR + [np.eye(3)] * pad).astype(np.float32))
-        em_t = jnp.asarray(np.stack(emt + [np.zeros(3)] * pad).astype(np.float32))
-        edge_mask = jnp.asarray(np.array([True] * len(ei) + [False] * pad))
+        edge_mask = jnp.asarray(np.array([True] * E + [False] * pad))
         edge_w = jnp.asarray(np.array(ew + [0.0] * pad, np.float32))
+
+        # relative measurements: current poses for chain/covis edges, the
+        # stored Sim3 for loop edges (previous ones + the new S_kc: S_kc
+        # maps c-frame coords to k-frame coords = S_k ∘ S_c^{-1} convention)
+        rel = self._rel_edges(ms.kf_T, edge_i, edge_j)
+        em_s = np.array(rel.s)    # writable copies (np.asarray of a jax
+        em_R = np.array(rel.R)    # array is a read-only view)
+        em_t = np.array(rel.t)
+        for off, (i, j, S7) in enumerate(self.loop_edges):
+            S = sim3_mod.expmap(jnp.asarray(S7))
+            em_s[n_rel + off] = float(S.s)
+            em_R[n_rel + off] = np.asarray(S.R)
+            em_t[n_rel + off] = np.asarray(S.t)
+        em_s[E - 1] = float(S_kc.s)
+        em_R[E - 1] = np.asarray(S_kc.R)
+        em_t[E - 1] = np.asarray(S_kc.t)
+        self.loop_edges.append((k, c, np.asarray(sim3_mod.logmap(S_kc))))
 
         fixed = np.zeros(K, bool)
         fixed[c] = True  # reference fixes the loop keyframe (src/Optimizer.cc:2220)
-        ms = self._apply_graph(ms, nodes.s, nodes.R, nodes.t,
-                               edge_i, edge_j, em_s, em_R, em_t,
-                               edge_mask, edge_w, jnp.asarray(fixed))
-        # global BA (synchronous RunGlobalBundleAdjustment equivalent)
-        ms = self._local_ba(ms)
-        return ms
+        return self._apply_graph(ms, nodes.s, nodes.R, nodes.t,
+                                 edge_i, edge_j, jnp.asarray(em_s),
+                                 jnp.asarray(em_R), jnp.asarray(em_t),
+                                 edge_mask, edge_w, jnp.asarray(fixed))

@@ -209,14 +209,53 @@ def create_new_points(cam, ms: MapState, k_new, k_ref, sigma2_levels,
     return ms
 
 
+def third_view_support(cam, ms: MapState, k3, Xa, Xb,
+                       angle_tol: float = 0.3, dist_tol: float = 4.0):
+    """3-view consistency for candidate 3D lines — the role of
+    `CreateNewMapLinesConstraint` (`src/LocalMapping.cc:875`): a candidate
+    (Xa, Xb) is supported if SOME detected segment in keyframe `k3` agrees
+    with its projection (direction + both endpoints near that segment's
+    infinite line). Returns (Mc,) bool."""
+    T3 = ms.kf_T[k3]
+    Pa = se3.transform(T3, Xa)
+    Pb = se3.transform(T3, Xb)
+
+    def px(Q):
+        iz = 1.0 / jnp.maximum(Q[:, 2], 1e-6)
+        return jnp.stack([cam.fx * Q[:, 0] * iz + cam.cx,
+                          cam.fy * Q[:, 1] * iz + cam.cy], -1)
+
+    qa, qb = px(Pa), px(Pb)
+    cheir = (Pa[:, 2] > 0) & (Pb[:, 2] > 0)
+    proj_ang = jnp.arctan2(qb[:, 1] - qa[:, 1], qb[:, 0] - qa[:, 0]) % jnp.pi
+
+    l3 = ms.kf_ln_l2d[k3]                        # (M3, 3) unit-normal lines
+    uv3 = ms.kf_ln_uv[k3]
+    ang3 = jnp.arctan2(uv3[:, 1, 1] - uv3[:, 0, 1],
+                       uv3[:, 1, 0] - uv3[:, 0, 0]) % jnp.pi
+    d_ang = jnp.abs(proj_ang[:, None] - ang3[None, :]) % jnp.pi
+    d_ang = jnp.minimum(d_ang, jnp.pi - d_ang)
+
+    def dist_to(l, q):                            # (Mc, M3)
+        return jnp.abs(l[None, :, 0] * q[:, None, 0]
+                       + l[None, :, 1] * q[:, None, 1] + l[None, :, 2])
+
+    near = (dist_to(l3, qa) < dist_tol) & (dist_to(l3, qb) < dist_tol)
+    ok = near & (d_ang < angle_tol) & ms.kf_ln_valid[k3][None, :]
+    return cheir & jnp.any(ok, axis=1)
+
+
 def create_new_lines(cam, ms: MapState, k_new, k_ref,
                      nn_ratio: float = 0.75, max_dist: int = 50,
-                     angle_tol: float = 0.29) -> MapState:
+                     angle_tol: float = 0.29, k_third=None) -> MapState:
     """Triangulate new map lines between two keyframes — the 2-view core of
     `CreateNewMapLines` (`src/LocalMapping.cc:597`): mutual-best Hamming
-    matching of unbound segments with direction agreement, plane-intersection
-    triangulation, then cheirality / parallax-degeneracy / endpoint
-    reprojection gates."""
+    matching of unbound segments with direction agreement (gap gate scaled
+    by the match-distance MAD, `src/LSDmatcher.cpp:474-484`),
+    plane-intersection triangulation, then cheirality / parallax-degeneracy
+    / endpoint reprojection gates. With `k_third`, candidates additionally
+    need third-view support (`CreateNewMapLinesConstraint`,
+    `src/LocalMapping.cc:875`)."""
     Lc = ms.ln_valid.shape[0]
     M = ms.kf_ln_valid.shape[1]
     T1 = ms.kf_T[k_new]
@@ -239,6 +278,12 @@ def create_new_lines(cam, ms: MapState, k_new, k_ref,
     idx2, best, second = hamming.masked_best2(D, mask)
     ok = (best <= max_dist) & (
         best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    # adaptive 1st-vs-2nd gap gate scaled by the MAD of the match distances
+    # (`lineDescriptorMAD` + `dist12 > 0.5*MAD` gate, src/LSDmatcher.cpp:
+    # 474-484 / src/ExtractLineSegment.cpp:49)
+    mad = hamming.vector_mad(best, ok & (best < hamming.INVALID))
+    gap = (second - best).astype(jnp.float32)
+    ok = ok & (gap > 0.5 * mad)
     Dm = jnp.where(mask, D, hamming.INVALID)
     rev = jnp.argmin(Dm, axis=0)
     ok = ok & (rev[idx2] == jnp.arange(M))
@@ -292,6 +337,8 @@ def create_new_lines(cam, ms: MapState, k_new, k_ref,
 
     create = (ok & finite & nondegenerate & chei1 & chei2
               & (e1 < 4.0) & (e2 < 4.0) & (da > 0) & (db > 0) & sane)
+    if k_third is not None:
+        create = create & third_view_support(cam, ms, k_third, Xa, Xb)
 
     slots, accepted, n_ln_new = mstate.append_slots(ms.n_ln, create, Lc)
     a = accepted
@@ -317,15 +364,57 @@ def create_new_lines(cam, ms: MapState, k_new, k_ref,
     return ms._replace(kf_ln_idx=ms.kf_ln_idx.at[k_ref].set(row_ref))
 
 
+class BASelection(NamedTuple):
+    """Everything `ba_writeback` needs to map a solved fixed-shape BA window
+    back onto the full map state."""
+    prob: local_ba.BAProblem
+    ids_c: jnp.ndarray       # (W,) global kf ids (clipped)
+    kf_mask: jnp.ndarray     # (W,)
+    sel: jnp.ndarray         # (p_ba,) global point ids
+    sel_ok: jnp.ndarray      # (p_ba,)
+    lsel: jnp.ndarray        # (l_ba,) global line ids
+    lsel_ok: jnp.ndarray     # (l_ba,)
+    slot_safe: jnp.ndarray   # (W, N) BA slot per keypoint
+    has: jnp.ndarray         # (W, N)
+    l_slot_safe: jnp.ndarray  # (W, Mf)
+    l_has: jnp.ndarray       # (W, Mf)
+    win_pt_idx: jnp.ndarray  # (W, N) bindings at selection time
+    win_ln_idx: jnp.ndarray  # (W, Mf)
+
+
 def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
                  p_ba: int = 4096, l_ba: int = 512, iters_a: int = 5,
-                 iters_b: int = 10) -> MapState:
+                 iters_b: int = 10, rank_by_obs: bool = False) -> MapState:
     """Local BA over the last `window` keyframes
     (`LocalBundleAdjustmentWithLine`, `src/Optimizer.cc:1645`): the two
     oldest window slots are fixed (pinning the monocular scale gauge — one
     fixed camera leaves an exact scale-about-its-center null direction),
     points and lines observed by the window are selected into fixed-size BA
     slots, outlier observations erased afterward."""
+    selection = ba_select(ms, sigma2_levels, window=window, p_ba=p_ba,
+                          l_ba=l_ba, rank_by_obs=rank_by_obs)
+    res = local_ba.bundle_adjust(selection.prob, cam, iters_a=iters_a,
+                                 iters_b=iters_b)
+    return ba_writeback(ms, selection, res)
+
+
+def ba_select(ms: MapState, sigma2_levels, window: int = 8,
+              p_ba: int = 4096, l_ba: int = 512,
+              rank_by_obs: bool = False) -> BASelection:
+    """Select the last `window` keyframes + their observed landmarks into a
+    fixed-shape :class:`BAProblem` (the window-selection half of
+    `LocalBundleAdjustmentWithLine`).
+
+    `rank_by_obs` picks the cap policy when the landmark budget binds:
+    False = prefer recent ids (LOCAL BA: freshly-triangulated points need
+    the refinement most); True = prefer well-observed ids (GLOBAL BA after
+    a loop: the fused cross-loop landmarks are the oldest ids and carry the
+    coupling — raw recency would drop them and leave the early keyframes
+    unconstrained)."""
+    # BA slot budgets can't exceed the map capacities (small test configs)
+    p_ba = min(p_ba, ms.pt_xyz.shape[0])
+    l_ba = min(l_ba, ms.ln_valid.shape[0])
+    window = min(window, ms.kf_T.shape[0])
     K_all = ms.kf_T.shape[0]
     P = ms.pt_xyz.shape[0]
     N = ms.kf_uv.shape[1]
@@ -348,8 +437,12 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
     observed = jnp.zeros((P,), bool)
     observed = observed.at[pid_safe.reshape(-1)].max(win_obs.reshape(-1))
     observed = observed & ms.pt_valid
-    # cap to p_ba (prefer recent points: higher index wins)
-    scores = jnp.where(observed, jnp.arange(P, dtype=jnp.int32), -1)
+    if rank_by_obs:
+        rank = jnp.clip(ms.pt_n_obs, 0, 32767) * 32768 \
+            + (jnp.arange(P, dtype=jnp.int32) >> 3)
+    else:
+        rank = jnp.arange(P, dtype=jnp.int32)
+    scores = jnp.where(observed, rank, -1)
     _, sel = jax.lax.top_k(scores, p_ba)         # (p_ba,) global pt ids
     sel_ok = observed[sel]
     lookup = jnp.full((P,), -1, jnp.int32).at[sel].set(
@@ -410,9 +503,21 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
         ln_obs_l2d=ln_obs_l2d,
         ln_obs_mask=ln_obs_mask,
     )
-    res = local_ba.bundle_adjust(prob, cam, iters_a=iters_a, iters_b=iters_b)
+    return BASelection(prob, ids_c, kf_mask, sel, sel_ok, lsel, lsel_ok,
+                       slot_safe, has, l_slot_safe, l_has,
+                       win_pt_idx, win_ln_idx)
 
-    # --- write back poses + points + lines ---
+
+def ba_writeback(ms: MapState, s: BASelection, res) -> MapState:
+    """Write a solved BA window back into the map: poses, points,
+    endpoint-re-pinned lines, and erase outlier observations
+    (`src/Optimizer.cc:2044-2099`)."""
+    ids_c, kf_mask = s.ids_c, s.kf_mask
+    sel, sel_ok, lsel, lsel_ok = s.sel, s.sel_ok, s.lsel, s.lsel_ok
+    slot_safe, has, l_slot_safe, l_has = (s.slot_safe, s.has, s.l_slot_safe,
+                                          s.l_has)
+    win_pt_idx, win_ln_idx = s.win_pt_idx, s.win_ln_idx
+
     new_kf_T = ms.kf_T.at[ids_c].set(
         jnp.where(kf_mask[:, None, None], res.kf_T, ms.kf_T[ids_c]))
     new_pt = ms.pt_xyz.at[sel].set(
@@ -432,12 +537,12 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
         jnp.where(lsel_ok[:, None, None], pinned, ms.ln_xyz[lsel]))
 
     # --- erase outlier observations (src/Optimizer.cc:2044-2067) ---
-    obs_bad = obs_mask & ~res.obs_inlier          # (W, p_ba)
+    obs_bad = s.prob.obs_mask & ~res.obs_inlier   # (W, p_ba)
     bad_here = has & jax.vmap(lambda b, s: b[s])(obs_bad, slot_safe)  # (W, N)
     new_rows = jnp.where(bad_here, -1, win_pt_idx)
     new_kf_pt_idx = ms.kf_pt_idx.at[ids_c].set(
         jnp.where(kf_mask[:, None], new_rows, ms.kf_pt_idx[ids_c]))
-    l_obs_bad = ln_obs_mask & ~res.ln_obs_inlier
+    l_obs_bad = s.prob.ln_obs_mask & ~res.ln_obs_inlier
     l_bad_here = l_has & jax.vmap(lambda b, s: b[s])(l_obs_bad, l_slot_safe)
     l_new_rows = jnp.where(l_bad_here, -1, win_ln_idx)
     new_kf_ln_idx = ms.kf_ln_idx.at[ids_c].set(
@@ -448,6 +553,80 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
     # refresh n_obs for selected points from global incidence
     inc = mstate.observers_of_points(ms)
     return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
+
+
+def gba_merge(ms: MapState, s: BASelection, res, kf_T_old, start_kf
+              ) -> MapState:
+    """Merge an asynchronously-completed global BA into the CURRENT map —
+    `RunGlobalBundleAdjustment` (`src/LoopClosing.cc:645-750`) semantics:
+
+    - keyframes/landmarks in the BA window get their optimized values;
+    - keyframes created DURING the BA are corrected through their relative
+      pose to the newest BA keyframe (the reference walks the spanning tree;
+      new KFs always chain off the window's tip, so the propagation
+      collapses to one anchor-relative transform);
+    - landmarks outside the BA (created during it, or beyond the selection
+      cap) are re-mapped through their reference keyframe's old->new
+      correction, `X' = Twc_ref_new (Tcw_ref_old X)` (`:713-735`).
+
+    No observation erasure: the reference's GBA runs robust=false and never
+    edits the graph (`src/LoopClosing.cc:651`), and bindings may have
+    changed while the BA was in flight."""
+    K = ms.kf_T.shape[0]
+    K_old = kf_T_old.shape[0]
+    P = ms.pt_xyz.shape[0]
+    ids = jnp.arange(K)
+
+    # 1) optimized window poses
+    kf_T = ms.kf_T.at[s.ids_c].set(
+        jnp.where(s.kf_mask[:, None, None], res.kf_T, ms.kf_T[s.ids_c]))
+
+    # 2) anchor-relative propagation for keyframes created during the BA
+    anchor = jnp.clip(start_kf - 1, 0, K - 1)
+    anchor_old = kf_T_old[jnp.clip(anchor, 0, K_old - 1)]
+    anchor_new = kf_T[anchor]
+    delta = se3.se3_inv(anchor_old) @ anchor_new      # cam_old -> cam_new
+    prop = ms.kf_T @ delta                            # Tcw_k ∘ delta
+    kf_T = jnp.where(((ids >= start_kf) & ms.kf_valid)[:, None, None],
+                     prop, kf_T)
+
+    # old/new pose tables for landmark re-mapping
+    old_all = ms.kf_T.at[:K_old].set(kf_T_old)
+    old_all = jnp.where((ids < start_kf)[:, None, None], old_all, ms.kf_T)
+    new_all = kf_T
+
+    # 3) landmarks: BA values for the selected, ref-KF re-map for the rest
+    sel_mask = jnp.zeros((P,), bool).at[s.sel].max(s.sel_ok)
+    pt_xyz = ms.pt_xyz.at[s.sel].set(
+        jnp.where(s.sel_ok[:, None], res.pt_xyz, ms.pt_xyz[s.sel]))
+    ref = jnp.clip(ms.pt_first_kf, 0, K - 1)
+    Xc = se3.transform(old_all[ref], ms.pt_xyz)
+    Xw = se3.transform(se3.se3_inv(new_all[ref]), Xc)
+    pt_xyz = jnp.where((ms.pt_valid & ~sel_mask)[:, None], Xw, pt_xyz)
+
+    Lc = ms.ln_valid.shape[0]
+    lsel_mask = jnp.zeros((Lc,), bool).at[s.lsel].max(s.lsel_ok)
+    # endpoint re-pinning (same null-space guard as ba_writeback)
+    old_ln = ms.ln_xyz[s.lsel]
+    new_a, new_b = res.ln_xyz[:, 0], res.ln_xyz[:, 1]
+    d = new_b - new_a
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    ta = jnp.sum((old_ln[:, 0] - new_a) * d, axis=-1)
+    tb = jnp.sum((old_ln[:, 1] - new_a) * d, axis=-1)
+    pinned = jnp.stack([new_a + ta[:, None] * d, new_a + tb[:, None] * d], 1)
+    ln_xyz = ms.ln_xyz.at[s.lsel].set(
+        jnp.where(s.lsel_ok[:, None, None], pinned, ms.ln_xyz[s.lsel]))
+    lref = jnp.clip(ms.ln_first_kf, 0, K - 1)
+    Tl_old = old_all[lref]
+    Tl_new_inv = se3.se3_inv(new_all[lref])
+    def remap_ep(e):
+        return se3.transform(Tl_new_inv, se3.transform(Tl_old, e))
+    ln_remap = jnp.stack([remap_ep(ms.ln_xyz[:, 0]),
+                          remap_ep(ms.ln_xyz[:, 1])], 1)
+    ln_xyz = jnp.where((ms.ln_valid & ~lsel_mask)[:, None, None],
+                       ln_remap, ln_xyz)
+
+    return ms._replace(kf_T=kf_T, pt_xyz=pt_xyz, ln_xyz=ln_xyz)
 
 
 def cull_points(ms: MapState, k_now) -> MapState:
@@ -534,19 +713,32 @@ def create_points_from_depth(cam, ms: MapState, k, kp_depth, scale_factors,
 def cull_keyframes(ms: MapState, k_current, keep_recent: int = 3) -> MapState:
     """`KeyFrameCulling` (`src/LocalMapping.cc:1835`): a keyframe is
     redundant if >= 90% of its bound map points are observed by at least 3
-    other keyframes (the reference additionally requires same-or-finer
-    octave; with our per-point n_obs bookkeeping the count-based rule is the
-    operative gate). KF0 and the most recent keyframes are protected.
+    OTHER keyframes at the same or finer scale (`scaleLeveli <= scaleLevel
+    + 1`, `:1870-1880`). KF0 and the most recent keyframes are protected.
     Culling releases the keyframe's observations (slot stays allocated —
     no pointer surgery, the spanning chain skips invalid slots)."""
     K = ms.kf_T.shape[0]
     P = ms.pt_xyz.shape[0]
-    inc = mstate.observers_of_points(ms)          # (K, P) bool
-    pt_obs = jnp.sum(inc, axis=0)                 # (P,)
+    n_levels = 16  # octave values are < 16 for every config
 
     bound = (ms.kf_pt_idx >= 0) & ms.kf_kp_valid  # (K, N)
     pid = jnp.clip(ms.kf_pt_idx, 0, P - 1)
-    well_observed = (pt_obs[pid] >= 4) & bound    # self + 3 others
+
+    # per-point observer count at octave <= t, for every threshold t:
+    # bucket counts (n_levels, P) scattered once, then cumsum over t —
+    # O(K*N) work instead of the (K, N, K) pairwise comparison
+    oct_b = jnp.clip(ms.kf_octave, 0, n_levels - 1)
+    flat_idx = (oct_b * P + pid).reshape(-1)
+    valid_obs = (bound & ms.kf_valid[:, None]).reshape(-1)
+    buckets = jnp.zeros((n_levels * P,), jnp.int32).at[flat_idx].add(
+        valid_obs.astype(jnp.int32)).reshape(n_levels, P)
+    cnt_le = jnp.cumsum(buckets, axis=0)          # (n_levels, P)
+
+    # for each observation (k, n): #observers at octave <= own + 1,
+    # minus self (self always qualifies for its own threshold)
+    th = jnp.clip(oct_b + 1, 0, n_levels - 1)     # (K, N)
+    cnt = cnt_le[th, pid] - 1                     # others at same-or-finer+1
+    well_observed = (cnt >= 3) & bound
     n_bound = jnp.sum(bound, axis=1)
     n_redundant = jnp.sum(well_observed, axis=1)
     frac = n_redundant / jnp.maximum(n_bound, 1)
@@ -562,6 +754,149 @@ def cull_keyframes(ms: MapState, k_current, keep_recent: int = 3) -> MapState:
                      kf_ln_idx=kf_ln_idx)
     inc = mstate.observers_of_points(ms)
     return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
+
+
+def project_and_bind(cam, ms: MapState, kf, cand_mask, radius: float = 3.0,
+                     max_hamming: int = 50) -> MapState:
+    """Project candidate map points into keyframe `kf` and bind matching
+    FREE keypoints as new observations — the observation-densification
+    role of `ORBmatcher::Fuse` (`src/ORBmatcher.cc:914`) inside
+    `SearchInNeighbors` (`src/LocalMapping.cc:1505`), with the reference's
+    full gate set: scale-invariance distance range, viewing-angle cos >
+    0.5, per-keypoint sigma-scaled radius, and descriptor threshold
+    (`:940-1010`)."""
+    P = ms.pt_xyz.shape[0]
+    T = ms.kf_T[kf]
+    Xc = se3.transform(T, ms.pt_xyz)
+    z = Xc[:, 2]
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    u = cam.fx * Xc[:, 0] * iz + cam.cx
+    v = cam.fy * Xc[:, 1] * iz + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+
+    # scale-invariance range + viewing angle (src/ORBmatcher.cc:946-976)
+    T_wc = se3.se3_inv(T)
+    c_w = T_wc[:3, 3]
+    po = ms.pt_xyz - c_w
+    dist = jnp.linalg.norm(po, axis=-1)
+    in_range = (dist >= 0.8 * ms.pt_min_dist) & (dist <= 1.2 * ms.pt_max_dist)
+    view_cos = jnp.sum(po * ms.pt_normal, axis=-1) / jnp.maximum(dist, 1e-6)
+    vis = (cand_mask & ms.pt_valid & (z > 0) & in_img & in_range
+           & (view_cos > 0.5))
+
+    # radius scaled by the keypoint's octave sigma (radius*scale^oct)
+    kp_scale = jnp.power(1.2, ms.kf_octave[kf].astype(jnp.float32))
+    r = radius * kp_scale[:, None]                 # (N, 1)
+    du = jnp.abs(ms.kf_uv[kf][:, 0:1] - u[None, :])
+    dv = jnp.abs(ms.kf_uv[kf][:, 1:2] - v[None, :])
+    D = hamming.distance_matrix(ms.kf_desc[kf], ms.pt_desc)
+    free = ms.kf_kp_valid[kf] & (ms.kf_pt_idx[kf] < 0) & ms.kf_valid[kf]
+    mask = (du < r) & (dv < r) & vis[None, :] & free[:, None]
+    idx, best, second = hamming.masked_best2(D, mask)
+    bind = (best <= max_hamming) & (
+        best.astype(jnp.float32) < 0.9 * second.astype(jnp.float32))
+    row = jnp.where(bind, idx.astype(jnp.int32), ms.kf_pt_idx[kf])
+    ms = ms._replace(kf_pt_idx=ms.kf_pt_idx.at[kf].set(row))
+    pid = jnp.clip(row, 0, P - 1)
+    return ms._replace(pt_n_obs=ms.pt_n_obs.at[pid].add(
+        bind.astype(jnp.int32)))
+
+
+def loop_fuse(cam, ms: MapState, kf, cand_mask, radius: float = 4.0,
+              max_hamming: int = 50) -> MapState:
+    """Loop-closure fusion with REPLACE semantics (`CorrectLoop` point
+    fusion + `SearchAndFuse`, `src/LoopClosing.cc:529-535,587`): project
+    loop-side landmarks (`cand_mask`) into keyframe `kf`; a keypoint
+    already bound to a non-loop landmark has that landmark REPLACED by the
+    matched loop point — every observation of the duplicate anywhere in the
+    map is rebound (`MapPoint::Replace`, `src/MapPoint.cc:177`) and the
+    duplicate is invalidated. This is what actually couples the two sides
+    of a loop: without it the revisit keyframes keep observing their own
+    duplicated landmarks and global BA relaxes the map straight back to the
+    drifted configuration."""
+    P = ms.pt_xyz.shape[0]
+    T = ms.kf_T[kf]
+    Xc = se3.transform(T, ms.pt_xyz)
+    z = Xc[:, 2]
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    u = cam.fx * Xc[:, 0] * iz + cam.cx
+    v = cam.fy * Xc[:, 1] * iz + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    T_wc = se3.se3_inv(T)
+    c_w = T_wc[:3, 3]
+    po = ms.pt_xyz - c_w
+    dist = jnp.linalg.norm(po, axis=-1)
+    in_range = (dist >= 0.8 * ms.pt_min_dist) & (dist <= 1.2 * ms.pt_max_dist)
+    view_cos = jnp.sum(po * ms.pt_normal, axis=-1) / jnp.maximum(dist, 1e-6)
+    vis = (cand_mask & ms.pt_valid & (z > 0) & in_img & in_range
+           & (view_cos > 0.5))
+
+    kp_scale = jnp.power(1.2, ms.kf_octave[kf].astype(jnp.float32))
+    r = radius * kp_scale[:, None]
+    du = jnp.abs(ms.kf_uv[kf][:, 0:1] - u[None, :])
+    dv = jnp.abs(ms.kf_uv[kf][:, 1:2] - v[None, :])
+    D = hamming.distance_matrix(ms.kf_desc[kf], ms.pt_desc)
+    mask = (du < r) & (dv < r) & vis[None, :] & ms.kf_kp_valid[kf][:, None]
+    mask = mask & ms.kf_valid[kf]
+    idx, best, _ = hamming.masked_best2(D, mask)
+    # mutual best over this keyframe's keypoints (replace is destructive;
+    # be conservative about which pairs trigger it)
+    Dm = jnp.where(mask, D, hamming.INVALID)
+    rev = jnp.argmin(Dm, axis=0)
+    N = ms.kf_uv.shape[1]
+    bind = (best <= max_hamming) & (rev[idx] == jnp.arange(N))
+
+    old = ms.kf_pt_idx[kf]
+    oldc = jnp.clip(old, 0, P - 1)
+    idx = idx.astype(jnp.int32)
+    is_dup = bind & (old >= 0) & ~cand_mask[oldc] & (oldc != idx)
+    is_new = bind & (old < 0)
+
+    # landmark LUT: duplicate id -> loop point id (identity elsewhere);
+    # the (P+1)-slot dump absorbs the non-replacing lanes
+    lut = jnp.arange(P + 1, dtype=jnp.int32)
+    lut = lut.at[jnp.where(is_dup, oldc, P)].set(
+        jnp.where(is_dup, idx, P))
+    lut = lut[:P]
+    # rebind EVERY observation of replaced duplicates, map-wide
+    all_idx = ms.kf_pt_idx
+    mapped = jnp.where(all_idx >= 0, lut[jnp.clip(all_idx, 0, P - 1)],
+                       all_idx)
+    # plus fresh bindings for this keyframe's free slots
+    row = jnp.where(is_new, idx, mapped[kf])
+    kf_pt_idx = mapped.at[kf].set(row)
+
+    # transfer observation counts to the kept point; kill the duplicate
+    dump = P
+    tgt = jnp.where(is_dup, idx, dump)
+    n_obs1 = jnp.concatenate([ms.pt_n_obs, jnp.zeros((1,), jnp.int32)])
+    n_obs1 = n_obs1.at[tgt].add(jnp.where(is_dup, ms.pt_n_obs[oldc], 0))
+    n_obs1 = n_obs1.at[jnp.where(is_new, idx, dump)].add(
+        is_new.astype(jnp.int32))
+    valid1 = jnp.concatenate([ms.pt_valid, jnp.zeros((1,), bool)])
+    valid1 = valid1.at[jnp.where(is_dup, oldc, dump)].set(False)
+    return ms._replace(kf_pt_idx=kf_pt_idx, pt_n_obs=n_obs1[:P],
+                       pt_valid=valid1[:P])
+
+
+def search_in_neighbors(cam, ms: MapState, k_new) -> MapState:
+    """`SearchInNeighbors` (`src/LocalMapping.cc:1505`) both directions:
+    bind the whole map's visible points into the NEW keyframe's free
+    keypoint slots, and the new keyframe's points into its two predecessor
+    keyframes — densifying the covisibility graph beyond what tracking
+    inliers alone provide."""
+    K = ms.kf_T.shape[0]
+    P = ms.pt_xyz.shape[0]
+    all_pts = jnp.ones((P,), bool)
+    ms = project_and_bind(cam, ms, k_new, all_pts)
+    # points bound in k_new -> into the previous two keyframes
+    new_pts = jnp.zeros((P,), bool).at[
+        jnp.clip(ms.kf_pt_idx[k_new], 0, P - 1)].max(
+        ms.kf_pt_idx[k_new] >= 0)
+    for back in (1, 2):
+        ms = project_and_bind(cam, ms, jnp.clip(k_new - back, 0, K - 1),
+                              new_pts)
+    return ms
 
 
 def fuse_duplicate_points(ms: MapState, n_recent: int = 1024,
@@ -601,6 +936,47 @@ def fuse_duplicate_points(ms: MapState, n_recent: int = 1024,
     return ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
 
 
+def fuse_duplicate_lines(ms: MapState, n_recent: int = 256,
+                         max_mid_dist: float = 0.1, angle_tol: float = 0.15,
+                         max_hamming: int = 50) -> MapState:
+    """Duplicate map-line fusion — the intended role of `LSDmatcher::Fuse`
+    (`src/LSDmatcher.cpp:860-1002`; note the reference version compares
+    line descriptors against the KF's POINT descriptors, `:966` — a real
+    bug this rebuild fixes by matching line descriptors): recently created
+    lines that coincide with an older one (midpoint proximity + direction
+    agreement + descriptor agreement) are merged into it, keyframe bindings
+    rewired (`MapLine::Replace` semantics, `src/MapLine.cpp:192`)."""
+    Lc = ms.ln_valid.shape[0]
+    start = jnp.maximum(ms.n_ln - n_recent, 0)
+    r_ids = jnp.clip(start + jnp.arange(n_recent), 0, Lc - 1)
+    r_valid = ms.ln_valid[r_ids]
+
+    mid = 0.5 * (ms.ln_xyz[:, 0] + ms.ln_xyz[:, 1])      # (L, 3)
+    dirs = ms.ln_xyz[:, 1] - ms.ln_xyz[:, 0]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-9)
+    d_mid = jnp.linalg.norm(mid[r_ids][:, None, :] - mid[None, :, :], axis=-1)
+    cos_d = jnp.abs(jnp.sum(dirs[r_ids][:, None, :] * dirs[None, :, :], -1))
+    D = hamming.distance_matrix(ms.ln_desc[r_ids], ms.ln_desc)
+    older = jnp.arange(Lc)[None, :] < r_ids[:, None]
+    cand = (r_valid[:, None] & ms.ln_valid[None, :] & older
+            & (d_mid < max_mid_dist) & (cos_d > jnp.cos(angle_tol))
+            & (D <= max_hamming))
+    target = jnp.argmax(cand, axis=1)
+    has_dup = jnp.any(cand, axis=1)
+
+    repl = jnp.arange(Lc)
+    repl = repl.at[r_ids].set(jnp.where(has_dup, target, r_ids))
+    lid = jnp.clip(ms.kf_ln_idx, 0, Lc - 1)
+    new_idx = jnp.where(ms.kf_ln_idx >= 0, repl[lid], ms.kf_ln_idx)
+    ln_valid = ms.ln_valid.at[r_ids].set(r_valid & ~has_dup)
+    n_obs = jnp.zeros((Lc,), jnp.int32).at[
+        jnp.clip(new_idx, 0, Lc - 1).reshape(-1)].add(
+        (new_idx >= 0).reshape(-1).astype(jnp.int32))
+    return ms._replace(kf_ln_idx=new_idx.astype(jnp.int32),
+                       ln_valid=ln_valid, ln_n_obs=n_obs)
+
+
 def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      matched_ln, frame_id, kp_depth, sigma2_levels,
                      scale_factors, window: int, p_ba: int, l_ba: int,
@@ -627,14 +1003,24 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
         lambda m: m, ms)
     if lfeats is not None:
         for back in (1, 2, 3):
+            # 3-view support (CreateNewMapLinesConstraint) when a third
+            # keyframe exists; plain 2-view triangulation otherwise
             ms = jax.lax.cond(
-                k_new >= back,
-                lambda m, b=back: create_new_lines(cam, m, k_new, k_new - b),
-                lambda m: m, ms)
+                k_new >= back + 1,
+                lambda m, b=back: create_new_lines(
+                    cam, m, k_new, k_new - b,
+                    k_third=jnp.clip(k_new - b - 1, 0)),
+                lambda m, b=back: jax.lax.cond(
+                    k_new >= b,
+                    lambda mm: create_new_lines(cam, mm, k_new, k_new - b),
+                    lambda mm: mm, m),
+                ms)
+        ms = fuse_duplicate_lines(ms)
     if use_depth:
         ms = create_points_from_depth(cam, ms, k_new, kp_depth,
                                       scale_factors, max_depth)
     ms = fuse_duplicate_points(ms)
+    ms = search_in_neighbors(cam, ms, k_new)
     # 4+8 iterations: the reference schedules 5+10 but aborts BA whenever a
     # new keyframe arrives (mbAbortBA, src/LocalMapping.cc:140) — effective
     # iteration counts under load are lower than nominal

@@ -50,14 +50,22 @@ class SLAMConfig:
     scale_factor: float = 1.2
     th_fast_high: float = 20.0
     th_fast_low: float = 7.0
-    # map capacities
+    # map capacities (initial; grown on demand when grow_map=True)
     max_kf: int = 48
     max_pt: int = 12288
     max_ln: int = 1024
     n_lf: int = 256
+    grow_map: bool = True           # double-and-pad capacity growth (the
+                                    # reference's map is unbounded; SURVEY §7
+                                    # hard part 5). Each growth event costs
+                                    # one recompile of the keyframe programs.
+    hard_max_kf: int = 4096         # growth ceilings (HBM safety)
+    hard_max_pt: int = 262144
+    hard_max_ln: int = 16384
     # policy
     min_init_matches: int = 100
     min_track_inliers: int = 10
+    reloc_min_inliers: int = 50  # acceptance ladder (src/Tracking.cc:2229)
     kf_min_interval: int = 3  # mapper-idle rate limit equivalent
     kf_max_interval: int = 10
     kf_ref_ratio: float = 0.9
@@ -78,6 +86,12 @@ class SLAMConfig:
     baseline: float = 0.08          # stereo baseline [m]
     th_depth: float = 40.0          # max trusted depth for direct creation
     depth_map_factor: float = 1.0   # RGBD depth image scaling
+    rgb_order: bool = True          # Camera.RGB (color conversion order)
+    min_line_length: float = 0.0    # LINEextractor.min_line_length (fraction
+                                    # of min(W,H), as the reference interprets
+                                    # it in src/LineExtractor.cpp:39-67)
+    line_n_levels: int = 1          # LINEextractor.nLevels (detector octaves)
+    line_scale: float = 1.2         # LINEextractor.scaleFactor
     mask_path: str = ""             # optional LSD suppression mask (masks/)
     seed: int = 0
 
@@ -92,14 +106,26 @@ class SLAMConfig:
         lines = [l for l in text.splitlines() if not l.startswith("%YAML")]
         d = yaml.safe_load("\n".join(lines)) or {}
         g = lambda k, default: d.get(k, default)
+        fx = g("Camera.fx", 517.3)
+        # depth-sensor keys (src/Tracking.cc:105-170): mbf = Camera.bf,
+        # mThDepth = mbf * ThDepth / fx [m]; DepthMapFactor divides the
+        # RGBD depth image into meters
+        bf = float(g("Camera.bf", 0.0))
+        th_depth_units = float(g("ThDepth", 40.0))
+        th_depth = bf * th_depth_units / fx if bf > 0 else 40.0
+        dmf = float(g("DepthMapFactor", 1.0))
         return SLAMConfig(
-            fx=g("Camera.fx", 517.3), fy=g("Camera.fy", 516.5),
+            fx=fx, fy=g("Camera.fy", 516.5),
             cx=g("Camera.cx", 318.6), cy=g("Camera.cy", 255.3),
             k1=g("Camera.k1", 0.0), k2=g("Camera.k2", 0.0),
             p1=g("Camera.p1", 0.0), p2=g("Camera.p2", 0.0),
             k3=g("Camera.k3", 0.0),
             width=int(g("Camera.width", 640)), height=int(g("Camera.height", 480)),
             fps=g("Camera.fps", 30.0),
+            rgb_order=bool(int(g("Camera.RGB", 1))),
+            baseline=(bf / fx) if bf > 0 else 0.08,
+            th_depth=th_depth,
+            depth_map_factor=dmf if dmf > 0 else 1.0,
             # round the YAML budget (1000 in the reference configs) up to a
             # multiple of 256 — static shapes want aligned sizes
             n_features=-(-int(g("ORBextractor.nFeatures", 1000)) // 256) * 256,
@@ -107,6 +133,12 @@ class SLAMConfig:
             scale_factor=g("ORBextractor.scaleFactor", 1.2),
             th_fast_high=g("ORBextractor.iniThFAST", 20.0),
             th_fast_low=g("ORBextractor.minThFAST", 7.0),
+            # LINEextractor.* (read at src/Tracking.cc:157-170); static line
+            # slots rounded up to a multiple of 64
+            n_lf=-(-int(g("LINEextractor.nFeatures", 200)) // 64) * 64,
+            line_n_levels=int(g("LINEextractor.nLevels", 1)),
+            line_scale=g("LINEextractor.scaleFactor", 1.2),
+            min_line_length=float(g("LINEextractor.min_line_length", 0.0)),
         )
 
 
@@ -191,7 +223,10 @@ class System:
                         l_ba=config.ba_lines, max_depth=config.th_depth,
                         use_depth=ud)
         self._relocalize = jit(partial(
-            tracking.relocalize, cam, sigma2_levels=self.sigma2))
+            tracking.relocalize, cam, sigma2_levels=self.sigma2,
+            scale_factors=self.scale_factors, n_levels=config.n_levels,
+            scale=config.scale_factor,
+            min_inliers=config.reloc_min_inliers))
         from ..ops import stereo as stereo_ops
         self._depth_at = jit(stereo_ops.depth_at)
         self._stereo_match = jit(partial(
@@ -200,11 +235,40 @@ class System:
         self._create_depth_points = jit(partial(
             mapping.create_points_from_depth, cam,
             scale_factors=self.scale_factors, max_depth=config.th_depth))
-        # full-map BA for loop closure / global BA
+        # full-map BA for loop closure / global BA. Budgets are the MAP
+        # capacities (capped for HBM), not the local-BA window budgets: a
+        # whole-map window under the local cap would silently drop most
+        # landmarks — including the fused cross-loop ones — and leave the
+        # early keyframes unconstrained.
+        self._gba_points = lambda: min(self.map_cfg.max_pt, 16384)
+        self._gba_lines = lambda: min(self.map_cfg.max_ln, 1024)
         self._global_ba = jit(partial(
             mapping.run_local_ba, cam, sigma2_levels=self.sigma2,
-            window=config.max_kf, p_ba=config.ba_points,
-            l_ba=config.ba_lines))
+            window=min(config.max_kf, 128), p_ba=self._gba_points(),
+            l_ba=self._gba_lines(), rank_by_obs=True))
+        # asynchronous global BA (P3): the reference runs GBA in a
+        # detachable thread with an abort flag (`RunGlobalBundleAdjustment`,
+        # src/LoopClosing.cc:575-645); here the LM loop is cut into
+        # resumable per-round programs dispatched between tracking frames —
+        # cooperative cancellation = the host stops dispatching rounds
+        from ..optim import local_ba as local_ba_mod
+        self._gba_select = jit(partial(
+            mapping.ba_select, sigma2_levels=self.sigma2,
+            window=min(config.max_kf, 128), p_ba=self._gba_points(),
+            l_ba=self._gba_lines(), rank_by_obs=True))
+        # NOTE: the reference's loop GBA runs robust=false with no outlier
+        # pass (`src/LoopClosing.cc:651`); here the rounds stay robust and
+        # one chi2 demotion runs after round 1 — measured on the loop
+        # fixture (scripts/loop_debug.py) the plain-quadratic variant lets
+        # aliased matches drag the solution (final kf ATE 0.167 vs 0.110)
+        self._gba_init = jit(lambda prob: local_ba_mod.ba_init(prob, cam))
+        self._gba_round = jit(lambda prob, st: local_ba_mod.ba_rounds(
+            prob, cam, st, 3, robust=True))
+        self._gba_demote = jit(lambda prob, st: local_ba_mod.ba_demote(
+            prob, cam, st))
+        self._gba_final = jit(lambda prob, st: local_ba_mod.ba_finalize(
+            prob, cam, st))
+        self._gba_merge = jit(mapping.gba_merge)
         from ..models.loop_closing import LoopClosing
         self.loop_closer = LoopClosing(
             cam, self.map_cfg, self.sigma2, self._global_ba,
@@ -229,7 +293,16 @@ class System:
         self._kp_depth = None
         self._pending = []
         self._init_frame_id = -1
-        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self._occupancy = (0, 0)  # (n_pt, n_ln) from the last readback
+        self.n_growths = 0
+        self._gba = None          # in-flight async global BA state
+        self.n_gba_done = 0
+        # Per-frame trajectory is stored RELATIVE to the reference keyframe
+        # at track time and re-anchored against the CURRENT keyframe poses
+        # on read (`src/Tracking.cc:580-595`, `src/System.cc:363-392`) — so
+        # loop-closure / GBA corrections retro-correct past frames.
+        # Entries: (timestamp, T_rel 4x4 | None, ref_kf id, lost flag).
+        self._traj: list[tuple] = []
         self.kf_timestamps: list[float] = []
         self.timings: list[float] = []
         self.stats: list[dict] = []
@@ -241,8 +314,13 @@ class System:
         uv_un = cam_mod.undistort_pixels(self.cam, feats.uv)
         feats = feats._replace(uv_un=uv_un)
         if self.cfg.use_lines:
+            # reference scales min_line_length by min(W,H)
+            # (`src/LineExtractor.cpp:39-67`); 0 keeps the detector default
+            mll = self.cfg.min_line_length * min(self.cfg.width,
+                                                 self.cfg.height)
             lf = line_ops.detect_lines(img, n_out=self.cfg.n_lf,
-                                       mask=self._line_mask)
+                                       mask=self._line_mask,
+                                       min_length=max(24.0, mll))
             # undistort endpoints, refresh the infinite-line equation
             ua = cam_mod.undistort_pixels(self.cam, lf.uv_a)
             ub = cam_mod.undistort_pixels(self.cam, lf.uv_b)
@@ -331,7 +409,7 @@ class System:
         self.last_kf_frame = self.frame_id
         self.ref_kf_matches = int(jnp.sum(self.ms.kf_pt_idx[0] >= 0))
         self.kf_timestamps = [timestamp]
-        self.trajectory.append((timestamp, np.eye(4, dtype=np.float32)))
+        self._log_frame(timestamp, np.eye(4, dtype=np.float32), 0)
         return np.eye(4, dtype=np.float32)
 
     # ------------------------------------------------------------------
@@ -364,7 +442,7 @@ class System:
         self._create_initial_map(feats, lfeats, idx2, res, timestamp)
         self.state = OK
         T = np.asarray(self.ms.kf_T[1])
-        self.trajectory.append((timestamp, T))
+        self._log_frame(timestamp, np.eye(4, dtype=np.float32), 1)
         return T
 
     # ------------------------------------------------------------------
@@ -437,7 +515,7 @@ class System:
         self.last_kf_frame = self.frame_id
         self.ref_kf_matches = n_new
         self.kf_timestamps = [self._init_ts, timestamp]
-        self.trajectory.append((self._init_ts, np.eye(4)))
+        self._log_frame(self._init_ts, np.eye(4, dtype=np.float32), 0)
 
     # ------------------------------------------------------------------
     def _track_frame(self, feats, lfeats, timestamp):
@@ -447,10 +525,14 @@ class System:
         res, self.ms = self._track_update(self.ms, feats, self.T_last,
                                           lfeats=lfeats,
                                           velocity=self.velocity)
+        # one background-GBA round per frame while one is in flight (the
+        # dispatch is asynchronous; device work overlaps the readbacks)
+        self._step_gba()
         T = res.T
         self.velocity = res.velocity  # damped model computed in-program
         self.T_last = T
-        self.trajectory.append((timestamp, T))  # device array; fetched lazily
+        # device array, fetched lazily in one batch at save time
+        self._log_frame(timestamp, res.T_rel, self.n_kf_host - 1)
 
         # Decisions (LOST / keyframe) need the inlier counts on the host —
         # the only device->host readback of the frame. In async mode the
@@ -475,7 +557,9 @@ class System:
             # one fused readback for the whole batch
             sc = np.asarray(jnp.stack([b[0].scalars for b in batch]))
             for (res, feats, lfeats, timestamp), row in zip(batch, sc):
-                n_inl, n_ln_inl, n_matched, nref3 = (int(x) for x in row)
+                n_inl, n_ln_inl, n_matched, nref3, n_pt, n_ln = (
+                    int(x) for x in row)
+                self._occupancy = (n_pt, n_ln)
                 if n_inl < self.cfg.min_track_inliers:
                     self.state = LOST
                     self.stats.append({"inliers": n_inl, "kf": False,
@@ -489,6 +573,13 @@ class System:
                                    "lost": False, "line_inliers": n_ln_inl})
 
     def _relocalize_frame(self, feats, timestamp):
+        # auto-reset instead of relocalizing when lost with a young map
+        # (`src/Tracking.cc:563-571`): the few-keyframe map is likely junk
+        if self.n_kf_host <= 5 and not self.cfg.localization_only:
+            self.reset()
+            self.stats.append({"inliers": 0, "kf": False, "lost": True,
+                               "auto_reset": True})
+            return None
         rok, rT, rn = self._relocalize(
             self.ms, feats, key=jax.random.PRNGKey(self.cfg.seed + self.frame_id))
         if bool(rok):
@@ -496,15 +587,113 @@ class System:
             self.velocity = jnp.eye(4)
             self.T_last = rT
             self.last_reloc_frame = self.frame_id
-            self.trajectory.append((timestamp, rT))
+            ref = self.n_kf_host - 1
+            self._log_frame(timestamp,
+                            rT @ se3.se3_inv(self.ms.kf_T[max(ref, 0)]), ref)
             self.stats.append({"inliers": int(rn), "kf": False,
                                "lost": False, "reloc": True})
             return np.asarray(rT)
-        T = self.velocity @ self.T_last  # dead-reckon until relocalized
-        self.trajectory.append((timestamp, T))
+        T = self.velocity @ self.T_last  # dead-reckon (prediction only)
+        # LOST frames are exported as a repeat of the last recovered pose,
+        # never the dead-reckoned guess (src/System.cc:372)
+        self._log_frame(timestamp, None, self.n_kf_host - 1, lost=True)
         self.T_last = T
         self.stats.append({"inliers": 0, "kf": False, "lost": True})
         return np.asarray(T)
+
+    # ------------------------------------------------------------------
+    # Asynchronous global BA (reference P3: GBA thread + mbStopGBA abort,
+    # `src/LoopClosing.cc:575-645`). One LM round is dispatched per tracked
+    # frame; the device queue overlaps it with tracking compute, the host
+    # never blocks on it. A new loop closure aborts the in-flight GBA.
+    def _start_gba(self):
+        sel = self._gba_select(self.ms)
+        self._gba = {
+            "sel": sel,
+            "st": self._gba_init(sel.prob),
+            # fresh buffer: self.ms is donated to the per-frame tracking
+            # program, which would invalidate a held alias
+            "kf_T_old": self.ms.kf_T + 0.0,
+            "start_kf": self.n_kf_host,
+            "round": 0,
+            # 1 robust round (3 iters) -> demote -> 3 more rounds ~ the
+            # reference's 10-iteration GBA schedule at round granularity
+            # (src/Optimizer.cc:41, LoopClosing.cc:651)
+            "n_rounds": 4,
+        }
+
+    def _abort_gba(self):
+        """`mbStopGBA` equivalent: drop the in-flight optimization."""
+        self._gba = None
+
+    def _step_gba(self):
+        g = self._gba
+        if g is None:
+            return
+        g["st"] = self._gba_round(g["sel"].prob, g["st"])
+        g["round"] += 1
+        if g["round"] == 1:
+            g["st"] = self._gba_demote(g["sel"].prob, g["st"])
+        if g["round"] >= g["n_rounds"]:
+            res = self._gba_final(g["sel"].prob, g["st"])
+            k_last = self.n_kf_host - 1
+            T_ref_before = self.ms.kf_T[k_last] if k_last >= 0 else None
+            self.ms = self._gba_merge(self.ms, g["sel"], res, g["kf_T_old"],
+                                      jnp.int32(g["start_kf"]))
+            if k_last >= 0:
+                # re-anchor tracking through the latest keyframe's
+                # correction: T_last' = (T_last ∘ T_kf_old^-1) ∘ T_kf_new
+                self.T_last = (self.T_last @ se3.se3_inv(T_ref_before)
+                               @ self.ms.kf_T[k_last])
+            self._gba = None
+            self.n_gba_done += 1
+
+    def finish_gba(self):
+        """Run any in-flight global BA to completion (used by flush/tests;
+        the reference joins its GBA thread in `System::Shutdown`)."""
+        while self._gba is not None:
+            self._step_gba()
+
+    # ------------------------------------------------------------------
+    def _maybe_grow(self):
+        """Double-and-pad capacity growth (SURVEY §7 hard part 5). Uses the
+        occupancy counters piggybacked on the per-frame readback (no extra
+        device sync). Margins cover the worst case one keyframe can append
+        (<= 2*n_kp points from two triangulation baselines + depth creation;
+        <= 3*n_lf lines from three baselines)."""
+        n_pt, n_ln = self._occupancy
+        c = self.map_cfg
+        new_kf = c.max_kf
+        new_pt = c.max_pt
+        new_ln = c.max_ln
+        if self.n_kf_host >= c.max_kf - 2 and c.max_kf < self.cfg.hard_max_kf:
+            new_kf = min(2 * c.max_kf, self.cfg.hard_max_kf)
+        if n_pt >= c.max_pt - 3 * c.n_kp and c.max_pt < self.cfg.hard_max_pt:
+            new_pt = min(2 * c.max_pt, self.cfg.hard_max_pt)
+        if n_ln >= c.max_ln - 4 * c.n_lf and c.max_ln < self.cfg.hard_max_ln:
+            new_ln = min(2 * c.max_ln, self.cfg.hard_max_ln)
+        if (new_kf, new_pt, new_ln) == (c.max_kf, c.max_pt, c.max_ln):
+            return
+        self.map_cfg = c._replace(max_kf=new_kf, max_pt=new_pt, max_ln=new_ln)
+        self.ms = mstate.grow_jit(self.ms, self.map_cfg)
+        self.n_growths += 1
+        if new_kf != c.max_kf or new_pt != c.max_pt or new_ln != c.max_ln:
+            # the full-map BA budgets follow map capacity, capped: the
+            # dense reduced-camera Schur product is O(K^2 P) — beyond ~128
+            # cameras the essential graph carries the global correction and
+            # BA refines the most recent window (the reference's GBA is also
+            # routinely aborted before convergence on large maps)
+            self._global_ba = jax.jit(partial(
+                mapping.run_local_ba, self.cam, sigma2_levels=self.sigma2,
+                window=min(new_kf, 128), p_ba=self._gba_points(),
+                l_ba=self._gba_lines(), rank_by_obs=True))
+            self._gba_select = jax.jit(partial(
+                mapping.ba_select, sigma2_levels=self.sigma2,
+                window=min(new_kf, 128), p_ba=self._gba_points(),
+                l_ba=self._gba_lines(), rank_by_obs=True))
+            if self.loop_closer is not None:
+                self.loop_closer._local_ba = self._global_ba
+                self.loop_closer.map_cfg = self.map_cfg
 
     # ------------------------------------------------------------------
     def _maybe_keyframe(self, feats, lfeats, res: tracking.TrackResult,
@@ -519,6 +708,8 @@ class System:
         # the map statistics collected while lost are unreliable
         if self.frame_id - self.last_reloc_frame < 2 * self.cfg.kf_max_interval:
             return False
+        if self.cfg.grow_map:
+            self._maybe_grow()
         if n_kf >= self.map_cfg.max_kf - 1:
             return False
         # reference semantics (`NeedNewKeyFrame` c2): tracking is weak when
@@ -558,9 +749,13 @@ class System:
             self.ms, closed = self.loop_closer.process_keyframe(
                 self.ms, k_new, seed=self.cfg.seed)
             if closed:
-                # loop correction moved the map: re-anchor tracking
+                # loop correction moved the map: re-anchor tracking and
+                # launch the async global BA (aborting any in-flight one —
+                # the reference's mbStopGBA, src/LoopClosing.cc:410-423)
                 self.T_last = self.ms.kf_T[k_new]
                 self.velocity = jnp.eye(4)
+                self._abort_gba()
+                self._start_gba()
         self.last_kf_frame = self.frame_id
         self.ref_kf_matches = n_matched
         self.kf_timestamps.append(timestamp)
@@ -584,8 +779,37 @@ class System:
         return int(self.ms.n_kf)
 
     def flush(self):
-        """Resolve any deferred per-frame decisions (async mode)."""
+        """Resolve any deferred per-frame decisions (async mode) and run
+        any in-flight global BA to completion."""
         self._resolve_pending(keep=0)
+        self.finish_gba()
+
+    @property
+    def trajectory(self) -> list:
+        """Per-frame (timestamp, Tcw) with poses re-anchored to the CURRENT
+        keyframe poses (`SaveTrajectoryTUM` recovery, src/System.cc:363-392).
+        Lost frames repeat the last recovered pose (`:372`)."""
+        if not self._traj:
+            return []
+        kf_T = np.asarray(self.ms.kf_T)
+        # one batched device fetch for all stored relative poses
+        rel_entries = [(i, e[1]) for i, e in enumerate(self._traj)
+                       if e[1] is not None]
+        rels = {}
+        if rel_entries:
+            stacked = np.asarray(jnp.stack([r for _, r in rel_entries]))
+            rels = {i: stacked[j] for j, (i, _) in enumerate(rel_entries)}
+        out = []
+        last = np.eye(4, dtype=np.float32)
+        for i, (ts, _rel, ref, lost) in enumerate(self._traj):
+            if i in rels and not lost:
+                last = (rels[i] @ kf_T[min(ref, kf_T.shape[0] - 1)]
+                        ).astype(np.float32)
+            out.append((ts, last))
+        return out
+
+    def _log_frame(self, timestamp, T_rel, ref_kf: int, lost: bool = False):
+        self._traj.append((timestamp, T_rel, max(ref_kf, 0), lost))
 
     def poses(self) -> np.ndarray:
         return np.stack([np.asarray(T) for _, T in self.trajectory])

@@ -38,9 +38,15 @@ class TrackResult(NamedTuple):
     ln_inlier: jnp.ndarray    # (M,) bool
     n_ln_inliers: jnp.ndarray  # () i32
     visible_lns: jnp.ndarray  # (L,) bool
-    scalars: jnp.ndarray      # (4,) i32 [n_inliers, n_ln_inliers, n_matched,
-                              # ref_kf_tracked3] — one packed readback/frame
+    scalars: jnp.ndarray      # (6,) i32 [n_inliers, n_ln_inliers, n_matched,
+                              # ref_kf_tracked3, n_pt, n_ln] — one packed
+                              # readback/frame (occupancy counters piggyback
+                              # so capacity-growth checks cost no extra sync)
     velocity: jnp.ndarray     # (4,4) damped constant-velocity estimate
+    T_rel: jnp.ndarray        # (4,4) pose relative to the reference (latest)
+                              # keyframe: T ∘ T_kf^-1 — the reference logs
+                              # trajectories this way and re-anchors on save
+                              # (src/Tracking.cc:580-595, System.cc:363-392)
 
 
 def predict_scale(dist, max_dist, scale: float, n_levels: int):
@@ -51,9 +57,31 @@ def predict_scale(dist, max_dist, scale: float, n_levels: int):
     return jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
 
 
+def local_map_mask(ms: MapState, window: int = 12):
+    """Points observed by the most recent `window` keyframes — the
+    reference's local map (`UpdateLocalKeyFrames/Points`,
+    `src/Tracking.cc:1899-2081`: keyframes sharing observations with the
+    current frame, which under sequential motion is the recent window;
+    loop-corrected re-entries join it through SearchAndFuse rebinding).
+    Tracking must NOT match against the whole map: descriptor-only
+    re-association with long-lost landmarks would silently close loops
+    through data association, masking drift instead of exposing it to the
+    explicit loop-closing stage."""
+    K, N = ms.kf_pt_idx.shape
+    P = ms.pt_xyz.shape[0]
+    ids = jnp.arange(K)
+    recent = (ids >= ms.n_kf - window) & (ids < ms.n_kf) & ms.kf_valid
+    rows = jnp.where(recent[:, None], ms.kf_pt_idx, -1)
+    mask = jnp.zeros((P,), bool).at[
+        jnp.clip(rows, 0, P - 1).reshape(-1)].max((rows >= 0).reshape(-1))
+    # keyframe-less maps (loaded point clouds, pure-localization setups):
+    # everything is local
+    return jnp.where(ms.n_kf > 0, mask, True)
+
+
 def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
                        scale_factors, radius_scale, wide: bool,
-                       n_levels: int, scale: float):
+                       n_levels: int, scale: float, pt_mask=None):
     """Projection-window search of frame keypoints against the map under
     pose T. `wide=True` = motion-model-style radius (flat 15px x octave
     scale, `src/Tracking.cc:1338`); `wide=False` = local-map radii
@@ -72,6 +100,8 @@ def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
     in_range = (dist >= 0.8 * ms.pt_min_dist) & (dist <= 1.2 * ms.pt_max_dist)
     view_cos = jnp.sum(po * ms.pt_normal, axis=-1) / jnp.maximum(dist, 1e-6)
     visible = ms.pt_valid & (z > 0) & in_img & in_range & (view_cos > 0.5)
+    if pt_mask is not None:
+        visible = visible & pt_mask
 
     pred_level = predict_scale(dist, ms.pt_max_dist, scale, n_levels)
     if wide:
@@ -161,33 +191,49 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     D = hamming.distance_matrix(feats.desc, ms.pt_desc)  # (N, P)
     sigma2_kp = sigma2_levels[feats.octave]
 
-    # Stage 1: wide window around the motion-model prediction, UNIONed with
-    # a windowless ratio-test match (the TrackReferenceKeyFrame / BoW
-    # fallback of the reference, `src/Tracking.cc:1143` — here it is free:
-    # the full Hamming matrix already exists). The union keeps tracking
-    # graceful when the prediction is off by more than the window.
-    idx1, m1, _ = _match_against_map(cam, ms, feats, D, T_pred, scale_factors,
-                                     th, True, n_levels, scale)
-    g_mask = feats.valid[:, None] & ms.pt_valid[None, :]
+    # ALL tracking searches are restricted to the LOCAL map (reference
+    # semantics: `TrackLocalMap` only sees covisible keyframes' landmarks,
+    # `src/Tracking.cc:1899-2081`) — matching against the whole map would
+    # re-associate long-lost landmarks by descriptor alone at loop
+    # revisits, silently absorbing drift that the explicit loop-closing
+    # stage (Sim3 + essential graph + GBA) is supposed to correct.
+    local = local_map_mask(ms)
+
+    # Stage 1 — the reference's tracking ladder (`TrackWithMotionModel`
+    # then `TrackReferenceKeyFrame` on failure, `src/Tracking.cc:445-460`)
+    # as a branch-free SELECT: optimize the windowed motion-model matches
+    # and the windowless strict-ratio matches as SEPARATE hypotheses and
+    # keep whichever yields more inliers. Mixing the two match sets in one
+    # optimization is unstable on repetitive texture: when the prediction
+    # is off by more than the texture period, aliased windowed matches and
+    # correct ratio matches form competing cost basins.
+    idx_w, m_w, _ = _match_against_map(cam, ms, feats, D, T_pred,
+                                       scale_factors, th, True, n_levels,
+                                       scale, pt_mask=local)
+    g_mask = feats.valid[:, None] & (ms.pt_valid & local)[None, :]
     g_idx, g_best, g_second = hamming.masked_best2(D, g_mask)
     g_ok = (g_best <= TH_LOW) & (
         g_best.astype(jnp.float32) < 0.7 * g_second.astype(jnp.float32))
-    use_global = ~m1 & g_ok
-    idx1 = jnp.where(use_global, g_idx, idx1)
-    m1 = m1 | use_global
-    res1 = pose_opt.pose_optimize(
+    res_a = pose_opt.pose_optimize(
         cam, T_pred,
-        pose_opt.PoseObs(ms.pt_xyz[idx1], feats.uv_un, sigma2_kp, m1,
+        pose_opt.PoseObs(ms.pt_xyz[idx_w], feats.uv_un, sigma2_kp, m_w,
                          *pose_opt.PoseObs.empty_lines(1)),
         rounds=2, iters_per_round=5)
-    # fall back to the prediction if the wide stage found too little
-    T_mid = jnp.where(res1.n_inliers >= 10, res1.T, T_pred)
+    res_b = pose_opt.pose_optimize(
+        cam, T_pred,
+        pose_opt.PoseObs(ms.pt_xyz[g_idx], feats.uv_un, sigma2_kp, g_ok,
+                         *pose_opt.PoseObs.empty_lines(1)),
+        rounds=2, iters_per_round=5)
+    take_a = res_a.n_inliers >= jnp.maximum(res_b.n_inliers, 10)
+    take_b = ~take_a & (res_b.n_inliers >= 10)
+    T_mid = jnp.where(take_a, res_a.T,
+                      jnp.where(take_b, res_b.T, T_pred))
 
     # Stage 2: tight local-map search from the refined pose, points + lines
     # jointly optimized (TrackLocalMapWithLines, src/Tracking.cc:1491)
     idx2, m2, visible = _match_against_map(cam, ms, feats, D, T_mid,
                                            scale_factors, th, False,
-                                           n_levels, scale)
+                                           n_levels, scale, pt_mask=local)
     if lfeats is not None:
         lidx, lm, ln_visible = _match_lines_against_map(cam, ms, lfeats, T_mid)
         L_ends = ms.ln_xyz[lidx]                       # (M, 2, 3)
@@ -244,8 +290,10 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         ln_inlier=ln_in,
         n_ln_inliers=n_ln_inl,
         visible_lns=ln_visible,
-        scalars=jnp.stack([n_inl, n_ln_inl, n_matched, nref3]),
+        scalars=jnp.stack([n_inl, n_ln_inl, n_matched, nref3,
+                           ms.n_pt, ms.n_ln]),
         velocity=new_velocity,
+        T_rel=res2.T @ se3.se3_inv(ms.kf_T[k_last]),
     )
     if update_stats:
         # fold the found/visible statistics update into the same program:
@@ -299,12 +347,18 @@ def match_frames(feats1: PointFeatures, feats2: PointFeatures,
     return idx, ok
 
 
-def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key):
+def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key,
+               scale_factors=None, n_levels: int = 8, scale: float = 1.2,
+               min_inliers: int = 50):
     """Relocalization from scratch (`Tracking::Relocalization`,
     `src/Tracking.cc:2083`): global ratio-test matching of frame descriptors
     against ALL map points (subsuming the BoW-candidate narrowing — the full
-    Hamming matrix is one MXU matmul), vmapped RANSAC PnP, then staged-LM
-    refinement. Returns (ok, T, n_inliers)."""
+    Hamming matrix is one MXU matmul), vmapped RANSAC PnP, staged-LM
+    refinement, then the reference's acceptance ladder (`:2191-2229`): if
+    the first optimization lands under `min_inliers` (50), retry with a
+    widening projection-window search around the candidate pose and
+    re-optimize before the final >= 50-inlier verdict.
+    Returns (ok, T, n_inliers)."""
     from ..solvers import pnp as pnp_mod
 
     D = hamming.distance_matrix(feats.desc, ms.pt_desc)
@@ -319,5 +373,19 @@ def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key):
     obs = pose_opt.PoseObs(ms.pt_xyz[idx], feats.uv_un, s2, ok,
                            *pose_opt.PoseObs.empty_lines(1))
     out = pose_opt.pose_optimize(cam, res.T, obs)
-    good = out.pt_inlier & ok
-    return res.ok & (out.n_inliers >= 15), out.T, jnp.sum(good.astype(jnp.int32))
+
+    # acceptance ladder: widen the search around the optimized pose
+    # (window th=10 then th=3 in the reference; one wide pass here — the
+    # full Hamming matrix makes the wider window free)
+    if scale_factors is None:
+        scale_factors = jnp.power(scale, jnp.arange(n_levels, dtype=jnp.float32))
+    idx2, m2, _ = _match_against_map(cam, ms, feats, D, out.T, scale_factors,
+                                     3.0, True, n_levels, scale)
+    obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, s2, m2,
+                            *pose_opt.PoseObs.empty_lines(1))
+    out2 = pose_opt.pose_optimize(cam, out.T, obs2)
+
+    take2 = (out.n_inliers < min_inliers) & (out2.n_inliers > out.n_inliers)
+    T = jnp.where(take2, out2.T, out.T)
+    n = jnp.maximum(out.n_inliers, out2.n_inliers)
+    return res.ok & (n >= min_inliers), T, n

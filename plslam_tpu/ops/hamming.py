@@ -98,3 +98,17 @@ def hamming_nn_match(bits_q, bits_d, mask=None, max_dist: int = 50,
         best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
     )
     return idx, ok, best
+
+
+def vector_mad(x, valid, scale: float = 1.4826):
+    """Scaled median absolute deviation over the masked entries — the
+    reference's `vector_mad` (`include/auxiliar.h`, used by the line
+    matcher's adaptive gap gate, `src/LSDmatcher.cpp:474-484`).
+
+    Returns 0 when fewer than 2 entries are valid (gate then passes
+    trivially, like the reference's empty-vector fallback)."""
+    xf = jnp.where(valid, x.astype(jnp.float32), jnp.nan)
+    med = jnp.nanmedian(xf)
+    mad = jnp.nanmedian(jnp.abs(xf - med))
+    return jnp.where(jnp.sum(valid.astype(jnp.int32)) >= 2,
+                     scale * jnp.nan_to_num(mad), 0.0)

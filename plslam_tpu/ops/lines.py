@@ -171,11 +171,24 @@ def detect_lines(img, n_out: int = 256, block: int = 8,
     root = jnp.where(is_line_f, root, nb)  # non-line blocks -> dump slot
 
     # --- per-chain pixel-level moments (scatter by root id) ---
-    # per-block gradient-weighted centroid moments at pixel precision
+    # per-block gradient-weighted centroid moments at pixel precision.
+    # Orientation gating: only pixels whose own gradient direction agrees
+    # with the block's principal gradient direction contribute — corner
+    # pixels and off-edge texture otherwise bias the least-squares fit by
+    # 1-2 px (the detector's main localization error; cf LSD's level-line
+    # field alignment test, `LSDDetector_custom.cpp` region growing).
     ys, xs = jnp.meshgrid(jnp.arange(gb[0] * block, dtype=jnp.float32),
                           jnp.arange(gb[1] * block, dtype=jnp.float32),
                           indexing="ij")
-    w = mag[:gb[0] * block, :gb[1] * block]
+    px_grad_angle = jnp.arctan2(gy, gx)[:gb[0] * block, :gb[1] * block]
+    blk_grad_angle = jnp.repeat(jnp.repeat(grad_angle, block, axis=0),
+                                block, axis=1)
+    # both mod pi (undirected); soft cosine-squared gate keeps gradients
+    # differentiable-smooth and zero at 45 deg misalignment
+    d_ga = (px_grad_angle % jnp.pi) - (blk_grad_angle % jnp.pi)
+    align = jnp.cos(d_ga) ** 2  # period pi: 1 aligned, 0 perpendicular
+    w = mag[:gb[0] * block, :gb[1] * block] * jnp.where(align > 0.75,
+                                                        align, 0.0)
     bs = lambda a: flat(block_sum(a))
     m00 = bs(w)
     m10 = bs(w * xs)

@@ -212,55 +212,88 @@ def _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust):
     return c
 
 
+class LMState(NamedTuple):
+    """Resumable LM solver state: the unit of cooperative interruption.
+
+    The reference runs global BA in a detachable thread with an abort flag
+    checked between solver iterations (`mbStopGBA`, `src/LoopClosing.cc:
+    575-579`; `mbAbortBA` for local BA, `src/LocalMapping.cc:140`).  The
+    TPU-native equivalent: the LM loop is cut into per-round programs over
+    this state, the host dispatches one round at a time between tracking
+    frames and can simply stop dispatching (abort) or run rounds to
+    completion (finish)."""
+    kf_T: jnp.ndarray
+    pt_xyz: jnp.ndarray
+    ln_xyz: jnp.ndarray
+    obs_in: jnp.ndarray
+    ln_in: jnp.ndarray
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def ba_init(prob: BAProblem, cam, robust: bool = True) -> LMState:
+    c0 = _total_cost(prob, cam, prob.kf_T, prob.pt_xyz, prob.ln_xyz,
+                     prob.obs_mask, prob.ln_obs_mask, robust)
+    return LMState(prob.kf_T, prob.pt_xyz, prob.ln_xyz,
+                   prob.obs_mask, prob.ln_obs_mask, jnp.float32(1e-4), c0)
+
+
+def ba_rounds(prob: BAProblem, cam, st: LMState, n_iters: int,
+              robust: bool = True) -> LMState:
+    """Run `n_iters` LM iterations from `st` (one resumable program)."""
+    def body(i, s):
+        T2, p2, l2 = _solve_lm_step(prob, cam, s.kf_T, s.pt_xyz, s.ln_xyz,
+                                    s.obs_in, s.ln_in, s.lam, robust)
+        c_new = _total_cost(prob, cam, T2, p2, l2, s.obs_in, s.ln_in, robust)
+        ok = (c_new < s.cost) & jnp.isfinite(c_new)
+        return LMState(
+            kf_T=jnp.where(ok, T2, s.kf_T),
+            pt_xyz=jnp.where(ok, p2, s.pt_xyz),
+            ln_xyz=jnp.where(ok, l2, s.ln_xyz),
+            obs_in=s.obs_in, ln_in=s.ln_in,
+            lam=jnp.where(ok, jnp.maximum(s.lam * 0.5, 1e-9),
+                          jnp.minimum(s.lam * 4.0, 1e8)),
+            cost=jnp.where(ok, c_new, s.cost))
+
+    return jax.lax.fori_loop(0, n_iters, body, st)
+
+
+def ba_demote(prob: BAProblem, cam, st: LMState) -> LMState:
+    """Chi2 outlier demotion between the two LM phases
+    (`src/Optimizer.cc:1957-2005`); resets lambda and the reference cost."""
+    _, _, _, chi2, z = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
+    obs_in = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
+    _, _, _, chi2l, zl = _line_terms(prob, st.kf_T, st.ln_xyz, cam)
+    ln_ep_ok = (chi2l <= CHI2_LINE) & (zl > 0)
+    ln_in = prob.ln_obs_mask & ln_ep_ok[..., 0] & ln_ep_ok[..., 1]
+    c0 = _total_cost(prob, cam, st.kf_T, st.pt_xyz, st.ln_xyz, obs_in,
+                     ln_in, True)
+    return st._replace(obs_in=obs_in, ln_in=ln_in, lam=jnp.float32(1e-4),
+                       cost=c0)
+
+
+def ba_finalize(prob: BAProblem, cam, st: LMState) -> BAResult:
+    """Final chi2 verdicts (observations to erase from the map)."""
+    _, _, _, chi2, z = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
+    obs_inlier = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
+    _, _, _, chi2l, zl = _line_terms(prob, st.kf_T, st.ln_xyz, cam)
+    lep = (chi2l <= CHI2_LINE) & (zl > 0)
+    ln_obs_inlier = prob.ln_obs_mask & lep[..., 0] & lep[..., 1]
+    cost = _total_cost(prob, cam, st.kf_T, st.pt_xyz, st.ln_xyz, obs_inlier,
+                       ln_obs_inlier, False)
+    return BAResult(st.kf_T, st.pt_xyz, st.ln_xyz, obs_inlier,
+                    ln_obs_inlier, cost)
+
+
 def bundle_adjust(prob: BAProblem, cam, iters_a: int = 5, iters_b: int = 10
                   ) -> BAResult:
     """5 robust iters -> demote chi2 outliers -> 10 iters -> final verdicts,
     replicating the staged schedule of `LocalBundleAdjustmentWithLine`
-    (`src/Optimizer.cc:1957-2005`). Fully jitted."""
-    K, P = prob.obs_mask.shape
-    L = prob.ln_mask.shape[0]
-
-    def lm_phase(n_iters, robust, kf_T, pt_xyz, ln_xyz, obs_in, ln_in):
-        def body(i, state):
-            kf_T, pt_xyz, ln_xyz, lam, c_cur = state
-            T2, p2, l2 = _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz,
-                                        obs_in, ln_in, lam, robust)
-            c_new = _total_cost(prob, cam, T2, p2, l2, obs_in, ln_in, robust)
-            ok = (c_new < c_cur) & jnp.isfinite(c_new)
-            kf_T = jnp.where(ok, T2, kf_T)
-            pt_xyz = jnp.where(ok, p2, pt_xyz)
-            ln_xyz = jnp.where(ok, l2, ln_xyz)
-            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9),
-                            jnp.minimum(lam * 4.0, 1e8))
-            return kf_T, pt_xyz, ln_xyz, lam, jnp.where(ok, c_new, c_cur)
-
-        c0 = _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust)
-        out = jax.lax.fori_loop(
-            0, n_iters, body, (kf_T, pt_xyz, ln_xyz, jnp.float32(1e-4), c0))
-        return out[:4]
-
-    obs_in = prob.obs_mask
-    ln_in = prob.ln_obs_mask
-    kf_T, pt_xyz, ln_xyz, _ = lm_phase(
-        iters_a, True, prob.kf_T, prob.pt_xyz, prob.ln_xyz, obs_in, ln_in)
-
-    # outlier demotion (chi2 over gate or negative depth)
-    _, _, _, chi2, z = _point_terms(prob, kf_T, pt_xyz, None, cam)
-    obs_in = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
-    _, _, _, chi2l, zl = _line_terms(prob, kf_T, ln_xyz, cam)
-    ln_ep_ok = (chi2l <= CHI2_LINE) & (zl > 0)
-    ln_in = prob.ln_obs_mask & ln_ep_ok[..., 0] & ln_ep_ok[..., 1]
-
-    kf_T, pt_xyz, ln_xyz, _ = lm_phase(
-        iters_b, True, kf_T, pt_xyz, ln_xyz, obs_in, ln_in)
-
-    # final verdicts (observations to erase from the map)
-    _, _, _, chi2, z = _point_terms(prob, kf_T, pt_xyz, None, cam)
-    obs_inlier = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
-    _, _, _, chi2l, zl = _line_terms(prob, kf_T, ln_xyz, cam)
-    lep = (chi2l <= CHI2_LINE) & (zl > 0)
-    ln_obs_inlier = prob.ln_obs_mask & lep[..., 0] & lep[..., 1]
-
-    cost = _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_inlier,
-                       ln_obs_inlier, False)
-    return BAResult(kf_T, pt_xyz, ln_xyz, obs_inlier, ln_obs_inlier, cost)
+    (`src/Optimizer.cc:1957-2005`). Fully jitted; composed from the
+    resumable ba_init/ba_rounds/ba_demote/ba_finalize pieces that also back
+    the asynchronous global BA."""
+    st = ba_init(prob, cam)
+    st = ba_rounds(prob, cam, st, iters_a, robust=True)
+    st = ba_demote(prob, cam, st)
+    st = ba_rounds(prob, cam, st, iters_b, robust=True)
+    return ba_finalize(prob, cam, st)

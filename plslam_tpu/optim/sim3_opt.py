@@ -56,12 +56,24 @@ def optimize_sim3(cam, S12_init: Sim3, X1, X2, uv1, uv2, mask,
 
     m2 = jnp.concatenate([mask, mask])
 
+    def huber_cost(r):
+        """Huber-robustified chi2 per residual row (delta^2 = CHI2) — the
+        reference attaches `RobustKernelHuber` to every Sim3 edge
+        (`src/Optimizer.cc:2420-2450`); without it a handful of gross
+        outliers in the guided match set drags the quadratic cost off the
+        basin and the chi2 recheck then reports zero inliers."""
+        c = jnp.sum(r * r, -1)
+        return jnp.where(c <= CHI2, c, 2.0 * jnp.sqrt(CHI2 * c) - CHI2)
+
     def lm_body(_, carry):
         S, lam, inl = carry
         zero = jnp.zeros(7)
         J = jax.jacfwd(lambda xi: residuals(xi, S))(zero)   # (2N,2,7)
         r = residuals(zero, S)
-        w = (m2 & inl).astype(jnp.float32)
+        # IRLS Huber weight: d(rho)/d(chi2) clipped to [0, 1]
+        c_row = jnp.sum(r * r, -1)
+        hub = jnp.minimum(1.0, jnp.sqrt(CHI2 / jnp.maximum(c_row, 1e-9)))
+        w = (m2 & inl).astype(jnp.float32) * hub
         H = jnp.einsum("nia,nib,n->ab", J, J, w)
         b = -jnp.einsum("nia,ni,n->a", J, r, w)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(7)
@@ -69,9 +81,9 @@ def optimize_sim3(cam, S12_init: Sim3, X1, X2, uv1, uv2, mask,
         S_new = sim3_mod.compose(sim3_mod.expmap(dx), S)
         if fix_scale:
             S_new = Sim3(S.s, S_new.R, S_new.t)
-        c_old = jnp.sum(jnp.where(m2 & inl, jnp.sum(r * r, -1), 0.0))
+        c_old = jnp.sum(jnp.where(m2 & inl, huber_cost(r), 0.0))
         r_new = residuals(zero, S_new)
-        c_new = jnp.sum(jnp.where(m2 & inl, jnp.sum(r_new * r_new, -1), 0.0))
+        c_new = jnp.sum(jnp.where(m2 & inl, huber_cost(r_new), 0.0))
         ok = (c_new < c_old) & jnp.isfinite(c_new)
         S = Sim3(jnp.where(ok, S_new.s, S.s), jnp.where(ok, S_new.R, S.R),
                  jnp.where(ok, S_new.t, S.t))

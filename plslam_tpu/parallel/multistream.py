@@ -89,7 +89,11 @@ class BatchedTracker:
                 lambda m: m, ms)
             return res.T, res.velocity, res.scalars, ms
 
-        self._step = jit(jax.vmap(track_and_kf))
+        # donate the batched map state + poses: the step updates them
+        # in-place in HBM instead of allocating a second full copy
+        self._step = jax.jit(jax.vmap(track_and_kf),
+                             donate_argnums=(1, 2, 3)) if use_jit \
+            else jax.vmap(track_and_kf)
         self.reset()
 
     def reset(self):

@@ -9,7 +9,7 @@ from plslam_tpu.models.system import System, SLAMConfig
 
 
 def test_kidnap_recovery():
-    n_frames = 26
+    n_frames = 30
     scene = synthetic.make_scene(seed=2)
     Ts_gt = synthetic.trajectory(n_frames, "orbit", amplitude=1.0)
     frames = [synthetic.render(scene, T) for T in Ts_gt]
@@ -19,12 +19,17 @@ def test_kidnap_recovery():
         k1=0, k2=0, p1=0, p2=0, k3=0,
         n_features=512, n_levels=3,
         max_kf=16, max_pt=4096, ba_window=5, ba_points=1024,
-        kf_max_interval=5, use_loop_closing=False,
+        # dense cadence: the map must be past the young-map auto-reset
+        # threshold (<= 5 KFs => Reset instead of Relocalization,
+        # src/Tracking.cc:563-571) before the kidnap
+        kf_max_interval=2, kf_min_interval=1, use_loop_closing=False,
     )
     slam = System(cfg)
-    for i in range(16):
+    for i in range(20):
         slam.track_monocular(frames[i], i / 30.0)
+    slam.flush()
     assert slam.state == "OK"
+    assert slam.n_kf_host > 5, "fixture must outgrow the auto-reset gate"
 
     # kidnap: wreck the motion state so the next prediction is garbage
     slam.velocity = jnp.asarray(np.diag([1.0, 1, 1, 1]).astype(np.float32))
@@ -33,7 +38,7 @@ def test_kidnap_recovery():
         np.array([1.5, -0.8, 2.0, 5.0, 4.0, -6.0], np.float32)))
 
     recovered = False
-    for i in range(16, n_frames):
+    for i in range(20, n_frames):
         T = slam.track_monocular(frames[i], i / 30.0)
         if slam.stats and slam.stats[-1].get("reloc"):
             recovered = True
@@ -41,7 +46,7 @@ def test_kidnap_recovery():
     assert slam.state == "OK"
     # post-recovery pose must be consistent with ground truth (up to Sim3)
     est = {ts: T for ts, T in slam.trajectory}
-    idx = [i for i in range(n_frames) if (i / 30.0) in est and i >= 18]
+    idx = [i for i in range(n_frames) if (i / 30.0) in est and i >= 22]
     T_est = np.stack([est[i / 30.0] for i in idx])
     ate = synthetic.ate_rmse(T_est, Ts_gt[idx])
     assert ate < 0.1, f"post-recovery ATE {ate}"
