@@ -27,6 +27,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
     from plslam_tpu.datasets import synthetic
     from plslam_tpu.models.system import System, SLAMConfig
 
@@ -53,17 +54,42 @@ def main():
     frames_dev = [jax.device_put(f) for f in frames_u8]
     jax.block_until_ready(frames_dev[-1])
 
-    # --- warmup: compile every program (tracking, KF chain, loop detect) ---
-    for i, img in enumerate(frames_dev):
-        slam.track_monocular(img, i / 30.0)
+    # chunked input: blocks of CHUNK frames pre-stacked on device (the
+    # production input pipeline shape — one dispatch per block, see
+    # System.track_chunked / scripts/perf_breakdown.py)
+    CHUNK = 6
+    chunk_arrays = [jnp.stack(frames_dev[c0:c0 + CHUNK])
+                    for c0 in range(0, n_frames - CHUNK + 1, CHUNK)]
+    jax.block_until_ready(chunk_arrays[-1])
+
+    def chunks(t_base):
+        for ci, c0 in enumerate(range(0, n_frames - CHUNK + 1, CHUNK)):
+            yield (chunk_arrays[ci],
+                   [t_base + (c0 + j) / 30.0 for j in range(CHUNK)])
+
+    # --- warmup: compile every program (tracking, chunked tracking, KF
+    # chain, loop detect) ---
+    for i in range(10):
+        slam.track_monocular(frames_dev[i], i / 30.0)
+    for imgs, tss in chunks(1.0):
+        slam.track_chunked(imgs, tss)
     slam.flush()
     jax.block_until_ready(slam.T_last)
 
-    # --- 1) full SLAM from scratch (fresh map, same compiled programs) ---
+    # --- 1) full SLAM from scratch (fresh map, same compiled programs):
+    # per-frame until initialized, then chunked blocks ---
     slam.reset()
     t0 = time.perf_counter()
-    for i, img in enumerate(frames_dev):
-        slam.track_monocular(img, 10.0 + i / 30.0)
+    n_init = 6
+    for i in range(n_init):
+        slam.track_monocular(frames_dev[i], 10.0 + i / 30.0)
+    i = n_init
+    while i + CHUNK <= n_frames:
+        slam.track_chunked(chunk_arrays[i // CHUNK],
+                           [10.0 + (i + j) / 30.0 for j in range(CHUNK)])
+        i += CHUNK
+    for j in range(i, n_frames):
+        slam.track_monocular(frames_dev[j], 10.0 + j / 30.0)
     slam.flush()
     jax.block_until_ready(slam.T_last)
     full_wall = time.perf_counter() - t0
@@ -84,14 +110,16 @@ def main():
     # --- 2) headline: steady-state tracking, NORMAL mode (map saturated,
     # keyframe cadence idle) — reference-metric parity with mono_tum.cc's
     # median tracking time (mapping runs off the tracking thread there) ---
-    for j in range(8):  # settle
-        slam.track_monocular(frames_dev[j % n_frames], 40.0 + j / 30.0)
+    for imgs, tss in chunks(40.0):  # settle
+        slam.track_chunked(imgs, tss)
     slam.flush()
     jax.block_until_ready(slam.T_last)
     t0 = time.perf_counter()
-    n_steady = n_frames
-    for j in range(n_steady):
-        slam.track_monocular(frames_dev[j % n_frames], 50.0 + j / 30.0)
+    n_steady = 0
+    for rep in range(2):
+        for imgs, tss in chunks(50.0 + rep * 10.0):
+            slam.track_chunked(imgs, tss)
+            n_steady += CHUNK
     slam.flush()
     jax.block_until_ready(slam.T_last)
     wall = time.perf_counter() - t0
@@ -119,10 +147,10 @@ def main():
     lat_med = float(np.median(t_lat))
 
     # --- 3) batched multi-stream (BASELINE config 5: 16 streams/chip) ---
-    fps16 = None
+    fps16 = fps16_vmap = None
     try:
-        fps16 = _bench_multistream(cfg, slam.ms, frames_u8, n_streams=16,
-                                   n_steps=10)
+        fps16, fps16_vmap = _bench_multistream(
+            cfg, slam.ms, frames_u8, n_streams=16, n_steps=10)
     except Exception:
         pass
 
@@ -140,6 +168,8 @@ def main():
             "kf_made_in_steady_pass": kf_in_steady,
             "frames": n_frames,
             "batched16_total_fps": None if fps16 is None else round(fps16, 1),
+            "batched16_vmap_fps": None if fps16_vmap is None
+            else round(fps16_vmap, 1),
             "upload_included_fps": round(up_fps, 2),
             "median_track_latency_fps": round(1.0 / lat_med, 2),
             "device": str(jax.devices()[0]),
@@ -149,23 +179,49 @@ def main():
 
 def _bench_multistream(cfg, ms1, frames_u8, n_streams: int = 16,
                        n_steps: int = 10):
-    """Steady-state batched SLAM over n_streams streams with donated state
-    (BatchedTracker) — the offline-mapping throughput mode. Aggregated
-    frames/sec; keyframe processing on the lockstep cadence included.
-    Streams start from copies of a REAL built map (ms1) so the tracking
-    work is representative."""
+    """Multi-stream throughput (BASELINE config 5: 16 streams/chip), two
+    modes over copies of a REAL built map (ms1):
+
+    - RoundRobinTracker (headline): streams time-multiplexed through the
+      chunked single-stream-optimal pipeline — the chip-capacity design
+      once one stream saturates the chip.
+    - BatchedTracker (reported as extra): lockstep vmap, the multi-chip
+      mesh pattern.
+
+    Returns (round_robin_fps, vmap_fps): aggregated frames/sec including
+    keyframe processing on the lockstep cadence."""
     import jax
     import jax.numpy as jnp
-    from plslam_tpu.parallel.multistream import BatchedTracker
+    from plslam_tpu.parallel.multistream import BatchedTracker, \
+        RoundRobinTracker
 
+    n = len(frames_u8)
+    B = 6
+    # --- round-robin chunked mode ---
+    rr = RoundRobinTracker(cfg, n_streams=n_streams, kf_every_chunks=3)
+    rr.bootstrap(ms1)
+    stream_chunks = [
+        jnp.stack([jnp.asarray(frames_u8[(s * 3 + i) % n]) for i in range(B)])
+        for s in range(n_streams)]
+    jax.block_until_ready(stream_chunks[-1])
+    for _ in range(3):  # warmup: track + KF-chunk branches
+        out = rr.step_chunks(stream_chunks)
+    jax.block_until_ready(out[-1])
+    t0 = time.perf_counter()
+    n_rr = 3
+    for _ in range(n_rr):
+        out = rr.step_chunks(stream_chunks)
+    jax.block_until_ready(out[-1])
+    rr_fps = n_streams * B * n_rr / (time.perf_counter() - t0)
+
+    # --- lockstep vmap mode (multi-chip pattern, single-chip here) ---
     bt = BatchedTracker(cfg, n_streams=n_streams, kf_interval=5)
     bt.bootstrap(jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), ms1))
-    k = len(frames_u8) // 2
-    imgs = jnp.stack([jnp.asarray(frames_u8[(k + i) % len(frames_u8)])
+    k = n // 2
+    imgs = jnp.stack([jnp.asarray(frames_u8[(k + i) % n])
                       for i in range(n_streams)])
-    # warmup: both branches (track-only and track+KF) compile
-    for j in range(6):
+    for j in range(6):  # warmup: both branches compile
         T, sc = bt.step(imgs)
     jax.block_until_ready(sc)
     t0 = time.perf_counter()
@@ -173,7 +229,7 @@ def _bench_multistream(cfg, ms1, frames_u8, n_streams: int = 16,
         T, sc = bt.step(imgs)
     jax.block_until_ready(sc)
     dt = (time.perf_counter() - t0) / n_steps
-    return n_streams / dt
+    return rr_fps, n_streams / dt
 
 
 if __name__ == "__main__":

@@ -188,6 +188,33 @@ class System:
             partial(track_fn, update_stats=True),
             donate_argnums=(0,)) if use_jit else partial(
             track_fn, update_stats=True)
+
+        # Chunked fast path: extraction + tracking for a BLOCK of frames as
+        # ONE dispatched program (`lax.scan` over frames, sequential
+        # semantics preserved on device). On the relay-tunneled TPU each
+        # program dispatch costs ~8-10 ms of host wall time while the
+        # per-frame device compute is ~8 ms — per-frame dispatch caps the
+        # pipeline at ~40 fps regardless of device speed. Chunking amortizes
+        # one dispatch over B frames (scripts/perf_breakdown.py).
+        def chunk_impl(ms, imgs, T_last, velocity):
+            def body(carry, img):
+                ms_c, T_l, vel = carry
+                feats, lfeats = self._extract_impl(img)
+                res, ms2 = track_fn(ms_c, feats, T_l, lfeats=lfeats,
+                                    velocity=vel, update_stats=True)
+                out = (res.T, res.T_rel, res.scalars, res.matched_pt,
+                       res.matched_ln, feats, lfeats)
+                return (ms2, res.T, res.velocity), out
+            carry, outs = jax.lax.scan(body, (ms, T_last, velocity), imgs)
+            return carry, outs
+        self._track_chunk = jax.jit(chunk_impl, donate_argnums=(0,)) \
+            if use_jit else chunk_impl
+        # one-dispatch gather of frame j's features out of a chunk's stacked
+        # outputs (naive per-array indexing costs ~13 dispatches per KF)
+        self._slice_chunk = jit(lambda fs, ls, m_pt, m_ln, Ts, j: (
+            jax.tree_util.tree_map(lambda a: a[j], fs),
+            jax.tree_util.tree_map(lambda a: a[j], ls),
+            m_pt[j], m_ln[j], Ts[j]))
         self._update_stats = jit(tracking.update_point_stats)
         self._match_frames = jit(tracking.match_frames)
         self._init_two_view = jit(partial(twoview.initialize_two_view, K=jnp.asarray(np.asarray(cam.K))))
@@ -292,6 +319,7 @@ class System:
         self._init_lfeats = None
         self._kp_depth = None
         self._pending = []
+        self._chunk_pending = []
         self._init_frame_id = -1
         self._occupancy = (0, 0)  # (n_pt, n_ln) from the last readback
         self.n_growths = 0
@@ -351,6 +379,99 @@ class System:
             T = self._track_frame(feats, lfeats, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return T
+
+    # ------------------------------------------------------------------
+    def track_chunked(self, imgs, timestamps):
+        """Process a block of consecutive frames with ONE dispatched device
+        program (extraction + tracking per frame via `lax.scan`; sequential
+        semantics preserved on device). Keyframe/LOST decisions read back
+        one chunk late — the same bounded-lag keyframing as
+        `async_pipeline`, amortized over the block. Falls back to the
+        per-frame path while uninitialized or lost.
+
+        `imgs`: (B, H, W) uint8 (device array preferred); `timestamps`:
+        length-B sequence. Returns the (B, 4, 4) poses (device array on the
+        fast path, list of per-frame results on the fallback path)."""
+        B = int(imgs.shape[0])
+        if self.state != OK:
+            return [self.track_monocular(imgs[j], timestamps[j])
+                    for j in range(B)]
+        if not isinstance(imgs, jax.Array):
+            imgs = jax.device_put(np.asarray(imgs).astype(np.uint8))
+        t0 = time.perf_counter()
+        ids = [self.frame_id + 1 + j for j in range(B)]
+        self.frame_id += B
+        (ms, T_last, vel), outs = self._track_chunk(
+            self.ms, imgs, self.T_last, self.velocity)
+        self.ms = ms
+        self.T_last = T_last
+        self.velocity = vel
+        Ts, T_rels, scalars, m_pt, m_ln, feats_s, lfeats_s = outs
+        self._step_gba()
+        ref = self.n_kf_host - 1
+        for j, ts in enumerate(timestamps):
+            # ("chunk", stack, j): lazy reference — indexing the device
+            # array here would dispatch one gather per frame, which is
+            # exactly the per-call overhead chunking exists to avoid
+            self._log_frame(ts, ("chunk", T_rels, j), ref)
+        try:
+            # start the (6,B) scalars flowing to the host now; by the time
+            # the NEXT chunk resolves decisions the transfer has landed and
+            # np.asarray is free instead of a blocking relay roundtrip
+            scalars.copy_to_host_async()
+        except Exception:
+            pass
+        self._chunk_pending.append(
+            (scalars, Ts, m_pt, m_ln, feats_s, lfeats_s,
+             list(timestamps), ids))
+        if len(self._chunk_pending) > 1:
+            self._resolve_chunks(keep=1)
+        dt = (time.perf_counter() - t0) / B
+        self.timings.extend([dt] * B)
+        return Ts
+
+    def _resolve_chunks(self, keep: int = 0):
+        import types
+        while len(self._chunk_pending) > keep:
+            (scalars, Ts, m_pt, m_ln, feats_s, lfeats_s, tss, ids) = \
+                self._chunk_pending.pop(0)
+            sc = np.asarray(scalars)          # ONE readback per chunk
+            saved_fid = self.frame_id
+            for j in range(sc.shape[0]):
+                n_inl, n_ln_inl, n_matched, nref3, n_pt, n_ln = (
+                    int(x) for x in sc[j])
+                self._occupancy = (n_pt, n_ln)
+                if n_inl < self.cfg.min_track_inliers:
+                    self.state = LOST
+                    self.stats.append({"inliers": n_inl, "kf": False,
+                                       "lost": True})
+                    continue
+                self.state = OK
+                made_kf = False
+                if not self.cfg.localization_only:
+                    # decisions run under the frame's own id (cadence gates)
+                    self.frame_id = ids[j]
+                    # cheap host-side pre-gate before paying the slice
+                    # dispatch: replicate _maybe_keyframe's cadence + c2
+                    since = ids[j] - self.last_kf_frame
+                    ref_base = nref3 if nref3 >= 30 else max(
+                        self.ref_kf_matches, 15)
+                    maybe = (n_inl < self.cfg.kf_ref_ratio * ref_base
+                             and n_inl > 15
+                             and since >= self.cfg.kf_min_interval)
+                    if maybe:
+                        f_j, l_j, mp_j, ml_j, T_j = self._slice_chunk(
+                            feats_s, lfeats_s, m_pt, m_ln, Ts,
+                            jnp.int32(j))
+                        res_j = types.SimpleNamespace(
+                            T=T_j, matched_pt=mp_j, matched_ln=ml_j)
+                        made_kf = self._maybe_keyframe(
+                            f_j, l_j, res_j, tss[j],
+                            n_inl, n_matched, nref3)
+                self.stats.append({"inliers": n_inl, "kf": made_kf,
+                                   "lost": False,
+                                   "line_inliers": n_ln_inl})
+            self.frame_id = saved_fid
 
     # ------------------------------------------------------------------
     def track_rgbd(self, img, depth, timestamp: float):
@@ -724,8 +845,14 @@ class System:
         # baseline (dense keyframing helps); monocular triangulation needs
         # baseline (dense keyframing produces shallow-parallax landmarks)
         min_iv = 1 if self._kp_depth is not None else self.cfg.kf_min_interval
-        need = (since >= self.cfg.kf_max_interval) or (
-            since >= min_iv and weak and n_inl > 15)
+        # reference decision = (c1a||c1b||c1c) && c2 — the weakening test
+        # c2 gates EVERY path (`src/Tracking.cc:1624-1663`): a saturated
+        # map revisiting known views makes NO keyframes no matter how long
+        # since the last one. c1a/c1b collapse to the min-interval cadence
+        # here (the synchronous mapper is always 'idle'); kf_max_interval
+        # acts as c1a's longer horizon for the weak-but-slow-decay case.
+        c2 = weak and n_inl > 15
+        need = c2 and (since >= min_iv)
         if not need:
             return False
 
@@ -779,9 +906,10 @@ class System:
         return int(self.ms.n_kf)
 
     def flush(self):
-        """Resolve any deferred per-frame decisions (async mode) and run
-        any in-flight global BA to completion."""
+        """Resolve any deferred per-frame/per-chunk decisions and run any
+        in-flight global BA to completion."""
         self._resolve_pending(keep=0)
+        self._resolve_chunks(keep=0)
         self.finish_gba()
 
     @property
@@ -792,13 +920,34 @@ class System:
         if not self._traj:
             return []
         kf_T = np.asarray(self.ms.kf_T)
-        # one batched device fetch for all stored relative poses
-        rel_entries = [(i, e[1]) for i, e in enumerate(self._traj)
-                       if e[1] is not None]
+        # one batched device fetch for all stored relative poses; chunked
+        # entries are ("chunk", stacked_device_array, j) lazy references —
+        # fetch each chunk stack once and index on the host
+        chunk_cache: dict = {}
+        def resolve(r):
+            if isinstance(r, tuple) and len(r) == 3 and r[0] == "chunk":
+                _, arr, j = r
+                key = id(arr)
+                if key not in chunk_cache:
+                    chunk_cache[key] = np.asarray(arr)
+                return chunk_cache[key][j]
+            return r
         rels = {}
-        if rel_entries:
-            stacked = np.asarray(jnp.stack([r for _, r in rel_entries]))
-            rels = {i: stacked[j] for j, (i, _) in enumerate(rel_entries)}
+        dev_entries = []
+        for i, e in enumerate(self._traj):
+            r = e[1]
+            if r is None:
+                continue
+            if isinstance(r, tuple) and len(r) == 3 and r[0] == "chunk":
+                rels[i] = resolve(r)
+            elif isinstance(r, np.ndarray):
+                rels[i] = r
+            else:
+                dev_entries.append((i, r))
+        if dev_entries:
+            stacked = np.asarray(jnp.stack([r for _, r in dev_entries]))
+            for j, (i, _) in enumerate(dev_entries):
+                rels[i] = stacked[j]
         out = []
         last = np.eye(4, dtype=np.float32)
         for i, (ts, _rel, ref, lost) in enumerate(self._traj):

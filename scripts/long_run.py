@@ -40,6 +40,7 @@ def main():
         max_kf=16, max_pt=2048, max_ln=128, n_lf=64,   # small initial caps
         ba_window=5, ba_points=1024, ba_lines=64,
         kf_max_interval=kf_iv, kf_min_interval=kf_iv,
+        kf_ref_ratio=2.0,  # always-weak c2: fixed keyframe cadence
         use_loop_closing=True, grow_map=True,
     )
     slam = System(cfg)

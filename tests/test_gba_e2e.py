@@ -17,6 +17,7 @@ def test_global_ba_reduces_drift():
                      k1=0, k2=0, p1=0, p2=0, k3=0,
                      n_features=512, n_levels=3, max_kf=28, max_pt=6144,
                      ba_window=5, ba_points=1536, kf_max_interval=4,
+                     kf_ref_ratio=2.0,  # always-weak c2: fixed cadence
                      kf_min_interval=4,  # sparse fixed cadence lets the 2%
                      # focal error accumulate into measurable drift
                      use_loop_closing=True)

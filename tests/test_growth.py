@@ -56,7 +56,10 @@ def test_system_grows_past_initial_capacity():
                      n_features=512, n_levels=3,
                      max_kf=6, max_pt=1024, max_ln=64,   # tiny initial caps
                      ba_window=4, ba_points=1024,
-                     kf_max_interval=3, kf_min_interval=1,
+                     kf_max_interval=3, kf_min_interval=3,
+                     kf_ref_ratio=2.0,  # always-weak c2 + min-interval 3:
+                     # fixed every-3-frames cadence to bust the tiny caps
+                     # (the strict reference c2 gate makes KFs demand-driven)
                      use_loop_closing=False)
     slam = System(cfg)
     for i, img in enumerate(frames):

@@ -23,6 +23,7 @@ def test_kidnap_recovery():
         # threshold (<= 5 KFs => Reset instead of Relocalization,
         # src/Tracking.cc:563-571) before the kidnap
         kf_max_interval=2, kf_min_interval=1, use_loop_closing=False,
+        kf_ref_ratio=2.0,  # always-weak c2: force dense keyframing
     )
     slam = System(cfg)
     for i in range(20):
