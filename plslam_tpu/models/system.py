@@ -73,7 +73,13 @@ class SLAMConfig:
     ba_points: int = 4096
     ba_lines: int = 256
     use_lines: bool = True
-    track_line_info: float = 0.25  # line-edge weight in pose optimization
+    track_line_info: float = 1.0  # line-edge weight in pose optimization —
+                                  # reference parity (`src/Optimizer.cc:802`
+                                  # uses identity information); measured
+                                  # better than the round-1 0.25 on every
+                                  # low-texture probe seed (the tighter
+                                  # effective chi2 gate admits only
+                                  # well-localized lines)
     use_loop_closing: bool = True
     localization_only: bool = False  # ActivateLocalizationMode equivalent
     async_pipeline: bool = False  # defer per-frame decisions by one frame:

@@ -163,9 +163,15 @@ def _match_lines_against_map(cam, ms: MapState, lfeats, T,
     d_along = jnp.abs(rel[..., 0] * dirs[None, :, 0]
                       + rel[..., 1] * dirs[None, :, 1])
     overlap = d_along < 0.6 * (lfeats.length[:, None] + proj_len[None, :])
+    # length-ratio gate (src/LSDmatcher.cpp:139-143): a detected segment
+    # much shorter/longer than the projected map line is usually a
+    # different physical edge that happens to be collinear
+    lr = jnp.minimum(lfeats.length[:, None], proj_len[None, :]) / \
+        jnp.maximum(jnp.maximum(lfeats.length[:, None], proj_len[None, :]),
+                    1e-6)
 
     mask = (visible[None, :] & lfeats.valid[:, None] & (d_ang < angle_tol)
-            & (d_perp < radius) & overlap)
+            & (d_perp < radius) & overlap & (lr >= 0.5))
     D = hamming.distance_matrix(lfeats.desc, ms.ln_desc)
     best_idx, best, _ = hamming.masked_best2(D, mask)
     matched = best <= max_dist
