@@ -244,20 +244,44 @@ class LoopClosing:
         return ms._replace(kf_T=new_T, pt_xyz=pt_xyz, ln_xyz=ln_xyz)
 
     # ------------------------------------------------------------------
-    def detect(self, ms, k: int) -> list[int]:
-        """BoW candidates with min-covisible-score + consistency grouping.
-        Device selects the candidates; the host only maintains the
-        3-consecutive-keyframe consistency state (a few tiny sets)."""
+    def detect(self, ms, k: int) -> list:
+        """BoW candidates with min-covisible-score + consistency grouping,
+        ONE KEYFRAME LATE: the device-side selection for keyframe k is
+        dispatched now with an async host copy, and the PREVIOUS
+        keyframe's selection (whose transfer has already landed) is
+        resolved — the detection readback never blocks the keyframe chain.
+        The reference's LoopClosing thread consumes its keyframe queue
+        with the same lag (`src/LoopClosing.cc:57-95`).
+
+        Returns [(kf_id, candidate_id, group_row), ...] — kf_id is the
+        PREVIOUS keyframe the candidates belong to."""
         if k - self.last_loop_kf < 10:  # src/LoopClosing.cc:114
+            # a fresh closure warped the map: any pending selection is
+            # stale, and consistency restarts (reference resets mvp groups)
+            self._pending_detect = None
             return []
-        top_id, top_sc, group_rows = self._detect_inputs(ms, jnp.int32(k))
-        top_id = np.asarray(top_id)
-        top_sc = np.asarray(top_sc)
-        group_rows = np.asarray(group_rows)
+        pending = getattr(self, "_pending_detect", None)
+        tid, tsc, rows = self._detect_inputs(ms, jnp.int32(k))
+        for a in (tid, tsc, rows):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending_detect = (k, tid, tsc, rows)
+        return self._consistency(pending)
+
+    def _consistency(self, pending):
+        """Resolve one dispatched selection (readback + the 3-consecutive
+        consistency grouping). Returns [(kf_id, cand_id, group_row), ...]"""
+        if pending is None:
+            return []
+        pk, tid, tsc, rows = pending
+        top_id = np.asarray(tid)
+        top_sc = np.asarray(tsc)
+        group_rows = np.asarray(rows)
         cands = [(int(j), group_rows[i])
                  for i, j in enumerate(top_id) if top_sc[i] > 0]
 
-        # consistency across CONSISTENCY_TH consecutive keyframes
         new_groups = []
         consistent_enough = []
         for j, row in cands:
@@ -268,9 +292,20 @@ class LoopClosing:
                     count = max(count, prev_count + 1)
             new_groups.append((group, count))
             if count + 1 >= CONSISTENCY_TH:
-                consistent_enough.append((j, row))
+                consistent_enough.append((pk, j, row))
         self.consistent_groups = new_groups
         return consistent_enough
+
+    def finish(self, ms, seed: int = 0):
+        """Drain the pending one-late detection (flush/shutdown — the
+        reference joins its LoopClosing thread the same way). Returns
+        (ms, closed)."""
+        pending = getattr(self, "_pending_detect", None)
+        self._pending_detect = None
+        if pending is None:
+            return ms, False
+        return self._try_close(ms, pending[0], self._consistency(pending),
+                               seed)
 
     # ------------------------------------------------------------------
     def _search_fuse_impl(self, ms, k, c):
@@ -305,17 +340,26 @@ class LoopClosing:
         the caller is responsible for scheduling the (asynchronous) global
         BA (`RunGlobalBundleAdjustment`, `src/LoopClosing.cc:645`)."""
         candidates = self.detect(ms, k)
-        for c, group_row in candidates:
+        return self._try_close(ms, k, candidates, seed)
+
+    def _try_close(self, ms, k: int, candidates, seed: int = 0):
+        K_now = ms.kf_valid.shape[0]
+        for pk, c, group_row in candidates:
+            # detection resolves one keyframe late; pad its group row if
+            # the map grew in between
+            if len(group_row) < K_now:
+                group_row = np.pad(group_row,
+                                   (0, K_now - len(group_row)))
             n_matches, ransac_ok, S12, n_inl = self._sim3_stage(
-                ms, jnp.int32(k), jnp.int32(c), jnp.asarray(group_row),
+                ms, jnp.int32(pk), jnp.int32(c), jnp.asarray(group_row),
                 jax.random.PRNGKey(seed + self.n_loops))
             # >= 20 Sim3-opt inliers (src/LoopClosing.cc:329) AND >= 40
             # total matches after the guided SearchBySim3 pass (:375-385)
             if not bool(ransac_ok) or int(n_inl) < 20 or int(n_matches) < 40:
                 continue
             self.pre_correction_kf_T = np.array(ms.kf_T)
-            self.last_closure = (k, c)
-            ms = self.correct(ms, k, c, S12)
+            self.last_closure = (pk, c)
+            ms = self.correct(ms, pk, c, S12)
             # snapshot right after the essential-graph correction: tests
             # compare pre vs post to prove the correction itself helps
             # (the follow-up GBA optimizes reprojection under the GIVEN

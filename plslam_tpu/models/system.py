@@ -912,10 +912,19 @@ class System:
         return int(self.ms.n_kf)
 
     def flush(self):
-        """Resolve any deferred per-frame/per-chunk decisions and run any
-        in-flight global BA to completion."""
+        """Resolve any deferred per-frame/per-chunk decisions, drain the
+        pending (one-keyframe-late) loop detection, and run any in-flight
+        global BA to completion."""
         self._resolve_pending(keep=0)
         self._resolve_chunks(keep=0)
+        if self.loop_closer is not None and self.n_kf_host > 0:
+            self.ms, closed = self.loop_closer.finish(self.ms,
+                                                      seed=self.cfg.seed)
+            if closed:
+                self.T_last = self.ms.kf_T[self.n_kf_host - 1]
+                self.velocity = jnp.eye(4)
+                self._abort_gba()
+                self._start_gba()
         self.finish_gba()
 
     @property

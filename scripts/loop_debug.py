@@ -47,7 +47,8 @@ def main():
                if s > 0]
         out = orig_detect(ms, k)
         if raw or out:
-            print(f"k={k}: raw={raw[:5]} consistent={[j for j, _ in out]}",
+            print(f"k={k}: raw={raw[:5]} "
+                  f"consistent={[(t[0], t[1]) for t in out]}",
                   flush=True)
         return out
     lc.detect = detect_logged
