@@ -16,7 +16,17 @@ def save_map(ms: MapState, path: str):
 
 def load_map(path: str) -> MapState:
     data = np.load(path)
-    return MapState(**{f: jnp.asarray(data[f]) for f in MapState._fields})
+    P = data["pt_xyz"].shape[0]
+    # fields added after a checkpoint was written load as inert defaults
+    defaults = {
+        "pt_desc_acc": lambda: np.asarray(data["pt_desc"], np.uint8),
+        "pt_desc_cnt": lambda: (data["pt_n_obs"] > 0).astype(np.int32),
+    }
+    def get(f):
+        if f in data.files:
+            return jnp.asarray(data[f])
+        return jnp.asarray(defaults[f]())
+    return MapState(**{f: get(f) for f in MapState._fields})
 
 
 def save_point_cloud(ms: MapState, path: str):

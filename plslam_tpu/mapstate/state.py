@@ -49,6 +49,14 @@ class MapState(NamedTuple):
     pt_found: jnp.ndarray     # (P,) i32 — actually-matched count
     pt_first_kf: jnp.ndarray  # (P,) i32
     pt_n_obs: jnp.ndarray     # (P,) i32
+    # distinctive-descriptor state: bitwise vote accumulator over this
+    # point's observed descriptors + sample count. The representative
+    # `pt_desc` is the bitwise MAJORITY — the exact minimizer of summed
+    # Hamming distance over the observations, the TPU-native form of the
+    # reference's min-median-Hamming medoid (`MapPoint::
+    # ComputeDistinctiveDescriptors`, `src/MapPoint.cc:249`).
+    pt_desc_acc: jnp.ndarray  # (P, 256) u8 saturating bit-vote counts
+    pt_desc_cnt: jnp.ndarray  # (P,) i32 samples accumulated (<= 255)
     # --- map lines (two endpoints) ---
     ln_xyz: jnp.ndarray       # (L, 2, 3)
     ln_desc: jnp.ndarray      # (L, 256) u8
@@ -88,6 +96,7 @@ def allocate(cfg: MapConfig) -> MapState:
         pt_min_dist=f((P,)), pt_max_dist=f((P,)), pt_valid=f((P,), bool),
         pt_visible=f((P,), jnp.int32), pt_found=f((P,), jnp.int32),
         pt_first_kf=f((P,), jnp.int32), pt_n_obs=f((P,), jnp.int32),
+        pt_desc_acc=f((P, 256), jnp.uint8), pt_desc_cnt=f((P,), jnp.int32),
         ln_xyz=f((L, 2, 3)), ln_desc=f((L, 256), jnp.uint8),
         ln_valid=f((L,), bool), ln_visible=f((L,), jnp.int32),
         ln_found=f((L,), jnp.int32), ln_first_kf=f((L,), jnp.int32),

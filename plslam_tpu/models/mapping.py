@@ -31,7 +31,7 @@ CHI2_2D = 5.991
 
 def insert_keyframe(cam, ms: MapState, feats: PointFeatures, T, matched_pt,
                     frame_id, scale_factors, lfeats=None,
-                    matched_ln=None) -> MapState:
+                    matched_ln=None, desc_majority: bool = False) -> MapState:
     """Promote the current frame to a keyframe (`CreateNewKeyFrame`,
     `src/Tracking.cc:1666` + `ProcessNewKeyFrame`, `src/LocalMapping.cc:157`):
     write features (points + line segments), bind tracked landmarks,
@@ -85,9 +85,35 @@ def insert_keyframe(cam, ms: MapState, feats: PointFeatures, T, matched_pt,
     n_obs = jnp.maximum(ms.pt_n_obs[pid].astype(jnp.float32), 1.0)[:, None]
     new_normal = ms.pt_normal.at[pid].add(
         jnp.where(has[:, None], (dirs - ms.pt_normal[pid]) / n_obs, 0.0))
-    new_desc = ms.pt_desc.at[pid].set(
-        jnp.where(has[:, None], feats.desc, ms.pt_desc[pid]))
-    return ms._replace(pt_normal=new_normal, pt_desc=new_desc)
+    # Representative descriptor. Default = latest observation. With
+    # `desc_majority`, points with >= 3 samples switch to the bitwise
+    # STRICT majority over their observed descriptors — the summed-Hamming
+    # minimizer, the TPU-native analog of the reference's min-median-
+    # Hamming medoid (`MapPoint::ComputeDistinctiveDescriptors`,
+    # src/MapPoint.cc:249). Measured: majority helps point-poor scenes
+    # (lines fixture points-only ATE 0.075 -> 0.019) but weakens tracking
+    # under viewpoint-drift fixtures (the frozen early-view majority
+    # matches late views worse than the latest descriptor), so latest
+    # stays the default.
+    room = has & (ms.pt_desc_cnt[pid] < 255)
+    acc = ms.pt_desc_acc.at[pid].add(
+        jnp.where(room[:, None], feats.desc, 0).astype(jnp.uint8))
+    cnt = ms.pt_desc_cnt.at[pid].add(room.astype(jnp.int32))
+    rep = feats.desc
+    if desc_majority:
+        # strict > (ties -> 0): with >= a 2-sample 'majority' would be the
+        # bitwise OR of the two descriptors — far from both
+        maj = (2 * acc[pid].astype(jnp.int32)
+               > jnp.maximum(cnt[pid], 1)[:, None]).astype(jnp.uint8)
+        rep = jnp.where((cnt[pid] >= 3)[:, None], maj, rep)
+    # invalid lanes clip pid to 0 — route them to the out-of-bounds dump
+    # (mode="drop") instead of letting duplicate index-0 writes race the
+    # real update (a where() over the gathered old value does NOT prevent
+    # the scatter collision)
+    pid_w = jnp.where(has, pid, P)
+    new_desc = ms.pt_desc.at[pid_w].set(rep, mode="drop")
+    return ms._replace(pt_normal=new_normal, pt_desc=new_desc,
+                       pt_desc_acc=acc, pt_desc_cnt=cnt)
 
 
 def _fundamental_between(cam, T1, T2):
@@ -195,6 +221,10 @@ def create_new_points(cam, ms: MapState, k_new, k_ref, sigma2_levels,
         pt_valid=ms.pt_valid.at[slots].set(jnp.where(a, True, ms.pt_valid[slots])),
         pt_first_kf=ms.pt_first_kf.at[slots].set(jnp.where(a, k_new, ms.pt_first_kf[slots])),
         pt_n_obs=ms.pt_n_obs.at[slots].set(jnp.where(a, 2, ms.pt_n_obs[slots])),
+        pt_desc_acc=ms.pt_desc_acc.at[slots].set(jnp.where(
+            a[:, None], ms.kf_desc[k_new], ms.pt_desc_acc[slots])),
+        pt_desc_cnt=ms.pt_desc_cnt.at[slots].set(
+            jnp.where(a, 1, ms.pt_desc_cnt[slots])),
         pt_visible=ms.pt_visible.at[slots].set(jnp.where(a, 1, ms.pt_visible[slots])),
         pt_found=ms.pt_found.at[slots].set(jnp.where(a, 1, ms.pt_found[slots])),
         n_pt=n_pt_new,
@@ -701,6 +731,10 @@ def create_points_from_depth(cam, ms: MapState, k, kp_depth, scale_factors,
         pt_valid=ms.pt_valid.at[slots].set(jnp.where(a, True, ms.pt_valid[slots])),
         pt_first_kf=ms.pt_first_kf.at[slots].set(jnp.where(a, k, ms.pt_first_kf[slots])),
         pt_n_obs=ms.pt_n_obs.at[slots].set(jnp.where(a, 1, ms.pt_n_obs[slots])),
+        pt_desc_acc=ms.pt_desc_acc.at[slots].set(jnp.where(
+            a[:, None], ms.kf_desc[k], ms.pt_desc_acc[slots])),
+        pt_desc_cnt=ms.pt_desc_cnt.at[slots].set(
+            jnp.where(a, 1, ms.pt_desc_cnt[slots])),
         pt_visible=ms.pt_visible.at[slots].set(jnp.where(a, 1, ms.pt_visible[slots])),
         pt_found=ms.pt_found.at[slots].set(jnp.where(a, 1, ms.pt_found[slots])),
         n_pt=n_pt_new,
@@ -980,7 +1014,8 @@ def fuse_duplicate_lines(ms: MapState, n_recent: int = 256,
 def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      matched_ln, frame_id, kp_depth, sigma2_levels,
                      scale_factors, window: int, p_ba: int, l_ba: int,
-                     max_depth: float, do_kf_cull, use_depth) -> MapState:
+                     max_depth: float, do_kf_cull, use_depth,
+                     desc_majority: bool = False) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -993,7 +1028,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     """
     k_new = ms.n_kf
     ms = insert_keyframe(cam, ms, feats, T, matched_pt, frame_id,
-                         scale_factors, lfeats=lfeats, matched_ln=matched_ln)
+                         scale_factors, lfeats=lfeats, matched_ln=matched_ln,
+                         desc_majority=desc_majority)
     ms = create_new_points(cam, ms, k_new, k_new - 1, sigma2_levels,
                            scale_factors)
     ms = jax.lax.cond(

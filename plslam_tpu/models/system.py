@@ -73,6 +73,13 @@ class SLAMConfig:
     ba_points: int = 4096
     ba_lines: int = 256
     use_lines: bool = True
+    desc_majority: bool = False  # map-point representative descriptor:
+                                 # False = latest observation; True =
+                                 # bitwise majority at >= 3 observations
+                                 # (the reference-medoid analog; helps
+                                 # point-poor scenes, hurts under strong
+                                 # viewpoint drift — see mapping.
+                                 # insert_keyframe)
     track_line_info: float = 1.0  # line-edge weight in pose optimization —
                                   # reference parity (`src/Optimizer.cc:802`
                                   # uses identity information); measured
@@ -247,14 +254,16 @@ class System:
                         scale_factors=self.scale_factors,
                         window=config.ba_window, p_ba=config.ba_points,
                         l_ba=config.ba_lines, max_depth=config.th_depth,
-                        use_depth=ud),
+                        use_depth=ud,
+                        desc_majority=config.desc_majority),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
                         sigma2_levels=self.sigma2,
                         scale_factors=self.scale_factors,
                         window=config.ba_window, p_ba=config.ba_points,
                         l_ba=config.ba_lines, max_depth=config.th_depth,
-                        use_depth=ud)
+                        use_depth=ud,
+                        desc_majority=config.desc_majority)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors, n_levels=config.n_levels,
