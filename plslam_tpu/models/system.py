@@ -106,6 +106,11 @@ class SLAMConfig:
     line_n_levels: int = 1          # LINEextractor.nLevels (detector octaves)
     line_scale: float = 1.2         # LINEextractor.scaleFactor
     mask_path: str = ""             # optional LSD suppression mask (masks/)
+    sensor: str = "mono"            # "mono" | "stereo" | "rgbd" — drives
+                                    # bFixScale = (sensor != MONOCULAR)
+                                    # (`src/System.cc:106`): depth sensors
+                                    # observe metric scale, so loop Sim3 and
+                                    # the essential graph run with s == 1
     seed: int = 0
 
     @staticmethod
@@ -209,12 +214,13 @@ class System:
         # per-frame device compute is ~8 ms — per-frame dispatch caps the
         # pipeline at ~40 fps regardless of device speed. Chunking amortizes
         # one dispatch over B frames (scripts/perf_breakdown.py).
-        def chunk_impl(ms, imgs, T_last, velocity):
+        def chunk_impl(ms, imgs, T_last, velocity, anchor_kf):
             def body(carry, img):
                 ms_c, T_l, vel = carry
                 feats, lfeats = self._extract_impl(img)
                 res, ms2 = track_fn(ms_c, feats, T_l, lfeats=lfeats,
-                                    velocity=vel, update_stats=True)
+                                    velocity=vel, update_stats=True,
+                                    anchor_kf=anchor_kf)
                 out = (res.T, res.T_rel, res.scalars, res.matched_pt,
                        res.matched_ln, feats, lfeats)
                 return (ms2, res.T, res.velocity), out
@@ -312,9 +318,14 @@ class System:
             prob, cam, st))
         self._gba_merge = jit(mapping.gba_merge)
         from ..models.loop_closing import LoopClosing
+        # bFixScale = (sensor != MONOCULAR) (`src/System.cc:106`): with a
+        # depth sensor the map scale is observed, so loop-closure Sim3
+        # refinement and the essential graph must not introduce a scale DOF
         self.loop_closer = LoopClosing(
             cam, self.map_cfg, self.sigma2, self._global_ba,
-            use_jit=use_jit, fix_scale=False) if config.use_loop_closing else None
+            use_jit=use_jit,
+            fix_scale=(config.sensor != "mono")) if config.use_loop_closing \
+            else None
 
         self.reset()
 
@@ -336,6 +347,11 @@ class System:
         self._pending = []
         self._chunk_pending = []
         self._init_frame_id = -1
+        self._anchor_kf = None    # local-map anchor override: set to the
+                                  # relocalization keyframe after a kidnap
+                                  # recovery, cleared at the next keyframe
+                                  # (ADVICE r2: recency window alone loses
+                                  # tracking after reloc into an old region)
         self._occupancy = (0, 0)  # (n_pt, n_ln) from the last readback
         self.n_growths = 0
         self._gba = None          # in-flight async global BA state
@@ -417,13 +433,14 @@ class System:
         ids = [self.frame_id + 1 + j for j in range(B)]
         self.frame_id += B
         (ms, T_last, vel), outs = self._track_chunk(
-            self.ms, imgs, self.T_last, self.velocity)
+            self.ms, imgs, self.T_last, self.velocity, self._anchor_arg())
         self.ms = ms
         self.T_last = T_last
         self.velocity = vel
         Ts, T_rels, scalars, m_pt, m_ln, feats_s, lfeats_s = outs
         self._step_gba()
         ref = self.n_kf_host - 1
+        traj_start = len(self._traj)
         for j, ts in enumerate(timestamps):
             # ("chunk", stack, j): lazy reference — indexing the device
             # array here would dispatch one gather per frame, which is
@@ -438,7 +455,7 @@ class System:
             pass
         self._chunk_pending.append(
             (scalars, Ts, m_pt, m_ln, feats_s, lfeats_s,
-             list(timestamps), ids))
+             list(timestamps), ids, traj_start))
         if len(self._chunk_pending) > 1:
             self._resolve_chunks(keep=1)
         dt = (time.perf_counter() - t0) / B
@@ -448,8 +465,8 @@ class System:
     def _resolve_chunks(self, keep: int = 0):
         import types
         while len(self._chunk_pending) > keep:
-            (scalars, Ts, m_pt, m_ln, feats_s, lfeats_s, tss, ids) = \
-                self._chunk_pending.pop(0)
+            (scalars, Ts, m_pt, m_ln, feats_s, lfeats_s, tss, ids,
+             traj_start) = self._chunk_pending.pop(0)
             sc = np.asarray(scalars)          # ONE readback per chunk
             saved_fid = self.frame_id
             for j in range(sc.shape[0]):
@@ -458,6 +475,12 @@ class System:
                 self._occupancy = (n_pt, n_ln)
                 if n_inl < self.cfg.min_track_inliers:
                     self.state = LOST
+                    # retro-mark the optimistically-logged trajectory entry:
+                    # the chunk's remaining device poses are garbage once
+                    # tracking failed — export repeats the last recovered
+                    # pose instead (src/System.cc:372 parity; ADVICE r2)
+                    ts_e, _, ref_e, _ = self._traj[traj_start + j]
+                    self._traj[traj_start + j] = (ts_e, None, ref_e, True)
                     self.stats.append({"inliers": n_inl, "kf": False,
                                        "lost": True})
                     continue
@@ -494,6 +517,7 @@ class System:
         immediate single-frame initialization and direct landmark creation."""
         t0 = time.perf_counter()
         self.frame_id += 1
+        self._ensure_depth_sensor("rgbd")
         img = jnp.asarray(np.asarray(img).astype(np.uint8))
         depth = jnp.asarray(np.asarray(depth).astype(np.float32)
                             / self.cfg.depth_map_factor)
@@ -511,6 +535,7 @@ class System:
         per-keypoint depth via MXU row-masked matching + SAD refinement."""
         t0 = time.perf_counter()
         self.frame_id += 1
+        self._ensure_depth_sensor("stereo")
         im_l = jnp.asarray(np.asarray(img_left).astype(np.uint8))
         im_r = jnp.asarray(np.asarray(img_right).astype(np.uint8))
         feats, lfeats = self._extract(im_l)
@@ -525,6 +550,15 @@ class System:
             T = self._track_frame(feats, lfeats, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return T
+
+    def _ensure_depth_sensor(self, sensor: str):
+        """Depth-sensor calls on a default (mono) config flip the loop
+        closer to fixed-scale Sim3 before its programs first trace —
+        `bFixScale = (sensor != MONOCULAR)`, `src/System.cc:106`."""
+        if self.cfg.sensor != sensor:
+            self.cfg.sensor = sensor
+            if self.loop_closer is not None:
+                self.loop_closer.fix_scale = True
 
     def _initialize_with_depth(self, feats, lfeats, timestamp):
         """`Tracking::StereoInitialization`: one keyframe at the origin,
@@ -654,13 +688,21 @@ class System:
         self._log_frame(self._init_ts, np.eye(4, dtype=np.float32), 0)
 
     # ------------------------------------------------------------------
+    def _anchor_arg(self):
+        """Local-map anchor as a traced scalar: -1 = latest keyframe
+        (normal sequential tracking), otherwise the keyframe the last
+        relocalization landed in (until the next keyframe insertion)."""
+        a = self._anchor_kf if self._anchor_kf is not None else -1
+        return jnp.int32(a)
+
     def _track_frame(self, feats, lfeats, timestamp):
         if self.state == LOST:
             return self._relocalize_frame(feats, timestamp)
 
         res, self.ms = self._track_update(self.ms, feats, self.T_last,
                                           lfeats=lfeats,
-                                          velocity=self.velocity)
+                                          velocity=self.velocity,
+                                          anchor_kf=self._anchor_arg())
         # one background-GBA round per frame while one is in flight (the
         # dispatch is asynchronous; device work overlaps the readbacks)
         self._step_gba()
@@ -716,13 +758,17 @@ class System:
             self.stats.append({"inliers": 0, "kf": False, "lost": True,
                                "auto_reset": True})
             return None
-        rok, rT, rn = self._relocalize(
+        rok, rT, rn, ranchor = self._relocalize(
             self.ms, feats, key=jax.random.PRNGKey(self.cfg.seed + self.frame_id))
         if bool(rok):
             self.state = OK
             self.velocity = jnp.eye(4)
             self.T_last = rT
             self.last_reloc_frame = self.frame_id
+            # seed the local-map window from where the inliers landed
+            # (covisibility anchor) — recency alone would immediately lose
+            # tracking after a kidnap into an old map region (ADVICE r2)
+            self._anchor_kf = int(ranchor)
             ref = self.n_kf_host - 1
             self._log_frame(timestamp,
                             rT @ se3.se3_inv(self.ms.kf_T[max(ref, 0)]), ref)
@@ -885,9 +931,12 @@ class System:
             jnp.int32(self.frame_id), kp_depth,
             do_kf_cull=jnp.bool_(k_new % 4 == 3))
         self.n_kf_host = n_kf + 1
-        if self.loop_closer is not None and k_new % 2 == 0:
-            # every 2nd keyframe: detection costs a covisibility readback
-            # (the reference's LoopClosing thread also skips KFs when busy)
+        # the new keyframe is the local-map anchor again (reloc override ends)
+        self._anchor_kf = None
+        if self.loop_closer is not None:
+            # every keyframe (`src/LoopClosing.cc:57` checks each queued KF;
+            # the r2 every-2nd-KF skip added up to ~2 KF intervals of
+            # correction delay on top of the one-late detection readback)
             self.ms, closed = self.loop_closer.process_keyframe(
                 self.ms, k_new, seed=self.cfg.seed)
             if closed:

@@ -57,12 +57,17 @@ def predict_scale(dist, max_dist, scale: float, n_levels: int):
     return jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
 
 
-def local_map_mask(ms: MapState, window: int = 12):
-    """Points observed by the most recent `window` keyframes — the
-    reference's local map (`UpdateLocalKeyFrames/Points`,
-    `src/Tracking.cc:1899-2081`: keyframes sharing observations with the
-    current frame, which under sequential motion is the recent window;
-    loop-corrected re-entries join it through SearchAndFuse rebinding).
+def local_map_mask(ms: MapState, window: int = 12, anchor_kf=None):
+    """Points observed by the `window` keyframes most covisible with the
+    ANCHOR keyframe — the reference's local map (`UpdateLocalKeyFrames/
+    Points`, `src/Tracking.cc:1899-2081`: keyframes sharing observations
+    with the current frame, capped at 80).  The anchor defaults to the
+    latest keyframe (the tracking reference KF under sequential motion);
+    after a relocalization it is the keyframe the inliers landed in, so a
+    kidnap into an OLD map region tracks against that region's landmarks
+    instead of the recent window (which would immediately lose tracking
+    again).  Recency breaks covisibility ties, so a young map degrades to
+    the sequential window.
     Tracking must NOT match against the whole map: descriptor-only
     re-association with long-lost landmarks would silently close loops
     through data association, masking drift instead of exposing it to the
@@ -70,8 +75,26 @@ def local_map_mask(ms: MapState, window: int = 12):
     K, N = ms.kf_pt_idx.shape
     P = ms.pt_xyz.shape[0]
     ids = jnp.arange(K)
-    recent = (ids >= ms.n_kf - window) & (ids < ms.n_kf) & ms.kf_valid
-    rows = jnp.where(recent[:, None], ms.kf_pt_idx, -1)
+    if anchor_kf is None:
+        anchor = jnp.maximum(ms.n_kf - 1, 0)
+    else:
+        anchor = jnp.where(anchor_kf >= 0, anchor_kf,
+                           jnp.maximum(ms.n_kf - 1, 0))
+    valid = ms.kf_valid & (ids < ms.n_kf)
+    # covisibility weight of every keyframe with the anchor = shared bound
+    # map points: one bitmap scatter + one (K, N) gather (no K x K matmul)
+    arow = ms.kf_pt_idx[anchor]
+    abit = jnp.zeros((P,), bool).at[jnp.clip(arow, 0, P - 1)].max(arow >= 0)
+    shared = abit[jnp.clip(ms.kf_pt_idx, 0, P - 1)] & (ms.kf_pt_idx >= 0)
+    w = jnp.sum(shared.astype(jnp.int32), axis=1)                   # (K,)
+    # rank: covisible weight, recency as tie-break; anchor always first;
+    # non-covisible keyframes excluded (score <= 0)
+    score = jnp.where(valid & (w > 0), w * K + ids, 0)
+    score = jnp.where(ids == anchor, jnp.int32(jnp.iinfo(jnp.int32).max),
+                      score)
+    top_s, top_i = jax.lax.top_k(score, min(window, K))
+    sel = jnp.zeros((K,), bool).at[top_i].max(top_s > 0)
+    rows = jnp.where((sel & valid)[:, None], ms.kf_pt_idx, -1)
     mask = jnp.zeros((P,), bool).at[
         jnp.clip(rows, 0, P - 1).reshape(-1)].max((rows >= 0).reshape(-1))
     # keyframe-less maps (loaded point clouds, pure-localization setups):
@@ -182,7 +205,8 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
                     scale_factors, sigma2_levels, lfeats=None, th: float = 1.0,
                     n_levels: int = 8, scale: float = 1.2,
                     line_info: float = 1.0, velocity=None,
-                    vel_gamma: float = 0.8, update_stats: bool = False):
+                    vel_gamma: float = 0.8, update_stats: bool = False,
+                    anchor_kf=None):
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
@@ -203,7 +227,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     # re-associate long-lost landmarks by descriptor alone at loop
     # revisits, silently absorbing drift that the explicit loop-closing
     # stage (Sim3 + essential graph + GBA) is supposed to correct.
-    local = local_map_mask(ms)
+    local = local_map_mask(ms, anchor_kf=anchor_kf)
 
     # Stage 1 — the reference's tracking ladder (`TrackWithMotionModel`
     # then `TrackReferenceKeyFrame` on failure, `src/Tracking.cc:445-460`)
@@ -246,9 +270,13 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         ln_xyz_e = jnp.concatenate([L_ends[:, 0], L_ends[:, 1]])   # (2M, 3)
         ln_l2d_e = jnp.concatenate([lfeats.l2d, lfeats.l2d])
         ln_mask_e = jnp.concatenate([lm, lm])
-        # reference uses info=1 (src/Optimizer.cc:802); ours is configurable
-        # because the block-fit line detector has coarser perpendicular noise
-        ln_info_e = jnp.full(ln_mask_e.shape, line_info, jnp.float32)
+        # reference uses info=1 (src/Optimizer.cc:802); ours is the
+        # configurable base (the block-fit line detector has coarser
+        # perpendicular noise) scaled per line by its triangulation
+        # conditioning (MapState.ln_cond) so short-baseline lines cannot
+        # drag the pose
+        ln_info_e = line_info * jnp.concatenate(
+            [ms.ln_cond[lidx], ms.ln_cond[lidx]])
         obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
                                 ln_xyz_e, ln_l2d_e, ln_mask_e, ln_info_e)
     else:
@@ -353,22 +381,61 @@ def match_frames(feats1: PointFeatures, feats2: PointFeatures,
     return idx, ok
 
 
+def reloc_candidate_mask(ms: MapState, feats: PointFeatures,
+                         n_cand: int = 8):
+    """Place-recognition gate for relocalization
+    (`KeyFrameDatabase::DetectRelocalizationCandidates`,
+    `src/KeyFrameDatabase.cc:199`; used by `Tracking::Relocalization`,
+    `src/Tracking.cc:2083-2140`): BoW-score the query frame against all
+    keyframes, keep the top candidates, and admit only THEIR landmarks
+    into the matching stage.  Matching the whole map instead would let a
+    kidnap near a drifted revisit relocalize into the geometrically wrong
+    side, silently absorbing drift the loop closer should see.
+
+    Returns (pt_mask (P,), cand_ids (n_cand,), cand_valid (n_cand,))."""
+    from ..vocab import bow
+    K, N = ms.kf_pt_idx.shape
+    P = ms.pt_xyz.shape[0]
+    q = bow.bow_vector(feats.desc, feats.valid)
+    scores = bow.l1_score(q, ms.kf_bow)                         # (K,)
+    ids = jnp.arange(K)
+    valid = ms.kf_valid & (ids < ms.n_kf)
+    sc = jnp.where(valid, scores, -1.0)
+    top_sc, top_id = jax.lax.top_k(sc, min(n_cand, K))
+    # the reference keeps candidates >= 0.75 * best accumulated score
+    # (`src/KeyFrameDatabase.cc:268-303`); apply the same relative gate
+    cand_ok = (top_sc > 0) & (top_sc >= 0.75 * top_sc[0])
+    rows = ms.kf_pt_idx[top_id]                                 # (C, N)
+    rows = jnp.where(cand_ok[:, None], rows, -1)
+    pt_mask = jnp.zeros((P,), bool).at[
+        jnp.clip(rows, 0, P - 1).reshape(-1)].max((rows >= 0).reshape(-1))
+    pt_mask = pt_mask & ms.pt_valid
+    # a map with no BoW signal (e.g. hand-built fixtures with empty kf_bow)
+    # falls back to the whole map — the pre-gate behavior
+    any_cand = jnp.any(cand_ok)
+    return jnp.where(any_cand, pt_mask, ms.pt_valid), top_id, cand_ok
+
+
 def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key,
                scale_factors=None, n_levels: int = 8, scale: float = 1.2,
                min_inliers: int = 50):
     """Relocalization from scratch (`Tracking::Relocalization`,
-    `src/Tracking.cc:2083`): global ratio-test matching of frame descriptors
-    against ALL map points (subsuming the BoW-candidate narrowing — the full
-    Hamming matrix is one MXU matmul), vmapped RANSAC PnP, staged-LM
-    refinement, then the reference's acceptance ladder (`:2191-2229`): if
-    the first optimization lands under `min_inliers` (50), retry with a
-    widening projection-window search around the candidate pose and
-    re-optimize before the final >= 50-inlier verdict.
-    Returns (ok, T, n_inliers)."""
+    `src/Tracking.cc:2083`): BoW place-recognition candidate gating
+    (`reloc_candidate_mask`), ratio-test matching of frame descriptors
+    against the candidate keyframes' landmarks (one MXU matmul), vmapped
+    RANSAC PnP, staged-LM refinement, then the reference's acceptance
+    ladder (`:2191-2229`): if the first optimization lands under
+    `min_inliers` (50), retry with a widening projection-window search
+    around the candidate pose and re-optimize before the final >=
+    50-inlier verdict.
+    Returns (ok, T, n_inliers, anchor_kf) — anchor_kf is the candidate
+    keyframe observing the most inliers, used to seed the local-map window
+    after a kidnap into an old map region."""
     from ..solvers import pnp as pnp_mod
 
+    pt_mask, cand_ids, cand_ok = reloc_candidate_mask(ms, feats)
     D = hamming.distance_matrix(feats.desc, ms.pt_desc)
-    mask = feats.valid[:, None] & ms.pt_valid[None, :]
+    mask = feats.valid[:, None] & pt_mask[None, :]
     idx, best, second = hamming.masked_best2(D, mask)
     ok = (best <= TH_LOW) & (
         best.astype(jnp.float32) < 0.75 * second.astype(jnp.float32))
@@ -386,12 +453,26 @@ def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key,
     if scale_factors is None:
         scale_factors = jnp.power(scale, jnp.arange(n_levels, dtype=jnp.float32))
     idx2, m2, _ = _match_against_map(cam, ms, feats, D, out.T, scale_factors,
-                                     3.0, True, n_levels, scale)
+                                     3.0, True, n_levels, scale,
+                                     pt_mask=pt_mask)
     obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, s2, m2,
                             *pose_opt.PoseObs.empty_lines(1))
     out2 = pose_opt.pose_optimize(cam, out.T, obs2)
 
     take2 = (out.n_inliers < min_inliers) & (out2.n_inliers > out.n_inliers)
     T = jnp.where(take2, out2.T, out.T)
-    n = jnp.maximum(out.n_inliers, out2.n_inliers)
-    return res.ok & (n >= min_inliers), T, n
+    # report the inlier count of the pose actually returned
+    n = jnp.where(take2, out2.n_inliers, out.n_inliers)
+    in_pt = jnp.where(take2, jnp.where(m2 & out2.pt_inlier, idx2, -1),
+                      jnp.where(ok & out.pt_inlier, idx, -1))    # (N,)
+    # anchor = candidate keyframe observing the most accepted inliers
+    P = ms.pt_xyz.shape[0]
+    in_bitmap = jnp.zeros((P,), bool).at[
+        jnp.clip(in_pt, 0, P - 1)].max(in_pt >= 0)
+    crows = ms.kf_pt_idx[cand_ids]                              # (C, N)
+    hits = jnp.sum((in_bitmap[jnp.clip(crows, 0, P - 1)]
+                    & (crows >= 0)).astype(jnp.int32), axis=1)  # (C,)
+    hits = jnp.where(cand_ok, hits, -1)
+    anchor = jnp.where(jnp.any(hits > 0), cand_ids[jnp.argmax(hits)],
+                       jnp.maximum(ms.n_kf - 1, 0)).astype(jnp.int32)
+    return res.ok & (n >= min_inliers), T, n, anchor

@@ -57,6 +57,9 @@ class BAProblem(NamedTuple):
     ln_mask: jnp.ndarray     # (L,) bool
     ln_obs_l2d: jnp.ndarray  # (K, L, 3) observed 2D infinite line (unit normal)
     ln_obs_mask: jnp.ndarray  # (K, L) bool
+    # scalar, or (L,) per-line information: base 0.5 (`src/Optimizer.cc:1909`)
+    # scaled by each line's triangulation conditioning (MapState.ln_cond) so
+    # short-baseline triangulations cannot corrupt the window
     ln_info: float = 0.5
 
     @staticmethod
@@ -92,6 +95,12 @@ def _point_terms(prob: BAProblem, kf_T, pt_xyz, obs_w, cam):
     return r, Jc, Jp, chi2, z
 
 
+def _ln_w(prob: BAProblem):
+    """Line information as a (K, L, 2)-broadcastable weight."""
+    w = jnp.asarray(prob.ln_info, jnp.float32)
+    return w if w.ndim == 0 else w[None, :, None]
+
+
 def _line_terms(prob: BAProblem, kf_T, ln_xyz, cam):
     """Per (camera, line, endpoint): scalar residual vs observed line.
 
@@ -103,12 +112,24 @@ def _line_terms(prob: BAProblem, kf_T, ln_xyz, cam):
     T = jnp.broadcast_to(kf_T[:, None, None], (K, L, 2, 4, 4))
     l2d = jnp.broadcast_to(prob.ln_obs_l2d[:, :, None, :], (K, L, 2, 3))
     r, Jc, Jp, z = residuals.line_endpoint_residual(cam, T, Xw, l2d)
-    chi2 = r * r * prob.ln_info
+    chi2 = r * r * _ln_w(prob)
     return r, Jc, Jp, chi2, z
 
 
-def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust):
-    """One damped normal-equations solve with Schur elimination of landmarks."""
+def _psum(x, axis):
+    return jax.lax.psum(x, axis) if axis is not None else x
+
+
+def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust,
+                   axis=None):
+    """One damped normal-equations solve with Schur elimination of landmarks.
+
+    `axis`: optional mesh-axis name when running under `shard_map` with the
+    LANDMARK dimension sharded (parallel/sharded_ba.py).  The dense (K, P)
+    observation grid keeps every observation of landmark p in column p, so
+    a landmark shard owns all of its landmarks' data: Hpp/Hcp/back-
+    substitution stay local and only the reduced camera system (S, bs) is
+    `psum`ed over ICI — the sharded-GBA scale-out pattern (SURVEY §5)."""
     K, P = prob.obs_mask.shape
     L = prob.ln_mask.shape[0]
 
@@ -128,7 +149,7 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust):
 
     # --- line endpoint landmarks (treated exactly like 3-dof points) ---
     rl, Jcl, Jpl, chi2l, zl = _line_terms(prob, kf_T, ln_xyz, cam)
-    wl = prob.ln_info
+    wl = _ln_w(prob)
     rwl = jnp.where(robust, residuals.huber_weight(chi2l, CHI2_LINE), 1.0)
     ml = (prob.ln_obs_mask[:, :, None] & ln_in[:, :, None] & (zl > 0)
           ).astype(jnp.float32) * wl * rwl                     # (K,L,2)
@@ -159,6 +180,10 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust):
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
     bs = bc - jnp.einsum("kpab,pbc,pc->ka", Hcp, Hpp_inv, bp)
     bs = bs - jnp.einsum("kleab,lebc,lec->ka", Hcl, Hll_inv, bl)
+    # landmark-sharded: assemble the global reduced camera system over the
+    # mesh; the (dense, small) solve below then runs replicated per device
+    S = _psum(S, axis)
+    bs = _psum(bs, axis)
 
     # Fix cameras: zero rows/cols, identity diagonal.
     free_c = (prob.kf_mask & ~prob.kf_fixed).astype(jnp.float32)
@@ -197,7 +222,8 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust):
     return kf_T_new, pt_xyz + dp, ln_xyz + dl
 
 
-def _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust):
+def _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust,
+                axis=None):
     _, _, _, chi2, z = _point_terms(prob, kf_T, pt_xyz, None, cam)
     rho = jnp.where(jnp.asarray(robust) & (chi2 > CHI2_POINT),
                     2.0 * jnp.sqrt(CHI2_POINT * jnp.maximum(chi2, 0.0)) - CHI2_POINT,
@@ -209,7 +235,7 @@ def _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust):
                      chi2l)
     c = c + jnp.sum(jnp.where(
         prob.ln_obs_mask[:, :, None] & ln_in[:, :, None] & (zl > 0), rhol, 0.0))
-    return c
+    return _psum(c, axis)
 
 
 class LMState(NamedTuple):
@@ -231,20 +257,25 @@ class LMState(NamedTuple):
     cost: jnp.ndarray
 
 
-def ba_init(prob: BAProblem, cam, robust: bool = True) -> LMState:
+def ba_init(prob: BAProblem, cam, robust: bool = True, axis=None) -> LMState:
     c0 = _total_cost(prob, cam, prob.kf_T, prob.pt_xyz, prob.ln_xyz,
-                     prob.obs_mask, prob.ln_obs_mask, robust)
+                     prob.obs_mask, prob.ln_obs_mask, robust, axis=axis)
     return LMState(prob.kf_T, prob.pt_xyz, prob.ln_xyz,
                    prob.obs_mask, prob.ln_obs_mask, jnp.float32(1e-4), c0)
 
 
 def ba_rounds(prob: BAProblem, cam, st: LMState, n_iters: int,
-              robust: bool = True) -> LMState:
-    """Run `n_iters` LM iterations from `st` (one resumable program)."""
+              robust: bool = True, axis=None) -> LMState:
+    """Run `n_iters` LM iterations from `st` (one resumable program).
+
+    With `axis` set (landmark-sharded shard_map), the psum'd cost makes the
+    accept/reject decision identical on every device."""
     def body(i, s):
         T2, p2, l2 = _solve_lm_step(prob, cam, s.kf_T, s.pt_xyz, s.ln_xyz,
-                                    s.obs_in, s.ln_in, s.lam, robust)
-        c_new = _total_cost(prob, cam, T2, p2, l2, s.obs_in, s.ln_in, robust)
+                                    s.obs_in, s.ln_in, s.lam, robust,
+                                    axis=axis)
+        c_new = _total_cost(prob, cam, T2, p2, l2, s.obs_in, s.ln_in, robust,
+                            axis=axis)
         ok = (c_new < s.cost) & jnp.isfinite(c_new)
         return LMState(
             kf_T=jnp.where(ok, T2, s.kf_T),
@@ -258,7 +289,7 @@ def ba_rounds(prob: BAProblem, cam, st: LMState, n_iters: int,
     return jax.lax.fori_loop(0, n_iters, body, st)
 
 
-def ba_demote(prob: BAProblem, cam, st: LMState) -> LMState:
+def ba_demote(prob: BAProblem, cam, st: LMState, axis=None) -> LMState:
     """Chi2 outlier demotion between the two LM phases
     (`src/Optimizer.cc:1957-2005`); resets lambda and the reference cost."""
     _, _, _, chi2, z = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
@@ -267,12 +298,12 @@ def ba_demote(prob: BAProblem, cam, st: LMState) -> LMState:
     ln_ep_ok = (chi2l <= CHI2_LINE) & (zl > 0)
     ln_in = prob.ln_obs_mask & ln_ep_ok[..., 0] & ln_ep_ok[..., 1]
     c0 = _total_cost(prob, cam, st.kf_T, st.pt_xyz, st.ln_xyz, obs_in,
-                     ln_in, True)
+                     ln_in, True, axis=axis)
     return st._replace(obs_in=obs_in, ln_in=ln_in, lam=jnp.float32(1e-4),
                        cost=c0)
 
 
-def ba_finalize(prob: BAProblem, cam, st: LMState) -> BAResult:
+def ba_finalize(prob: BAProblem, cam, st: LMState, axis=None) -> BAResult:
     """Final chi2 verdicts (observations to erase from the map)."""
     _, _, _, chi2, z = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
     obs_inlier = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
@@ -280,20 +311,20 @@ def ba_finalize(prob: BAProblem, cam, st: LMState) -> BAResult:
     lep = (chi2l <= CHI2_LINE) & (zl > 0)
     ln_obs_inlier = prob.ln_obs_mask & lep[..., 0] & lep[..., 1]
     cost = _total_cost(prob, cam, st.kf_T, st.pt_xyz, st.ln_xyz, obs_inlier,
-                       ln_obs_inlier, False)
+                       ln_obs_inlier, False, axis=axis)
     return BAResult(st.kf_T, st.pt_xyz, st.ln_xyz, obs_inlier,
                     ln_obs_inlier, cost)
 
 
-def bundle_adjust(prob: BAProblem, cam, iters_a: int = 5, iters_b: int = 10
-                  ) -> BAResult:
+def bundle_adjust(prob: BAProblem, cam, iters_a: int = 5, iters_b: int = 10,
+                  axis=None) -> BAResult:
     """5 robust iters -> demote chi2 outliers -> 10 iters -> final verdicts,
     replicating the staged schedule of `LocalBundleAdjustmentWithLine`
     (`src/Optimizer.cc:1957-2005`). Fully jitted; composed from the
     resumable ba_init/ba_rounds/ba_demote/ba_finalize pieces that also back
     the asynchronous global BA."""
-    st = ba_init(prob, cam)
-    st = ba_rounds(prob, cam, st, iters_a, robust=True)
-    st = ba_demote(prob, cam, st)
-    st = ba_rounds(prob, cam, st, iters_b, robust=True)
-    return ba_finalize(prob, cam, st)
+    st = ba_init(prob, cam, axis=axis)
+    st = ba_rounds(prob, cam, st, iters_a, robust=True, axis=axis)
+    st = ba_demote(prob, cam, st, axis=axis)
+    st = ba_rounds(prob, cam, st, iters_b, robust=True, axis=axis)
+    return ba_finalize(prob, cam, st, axis=axis)

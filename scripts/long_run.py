@@ -43,13 +43,12 @@ def main():
         kf_max_interval=kf_iv, kf_min_interval=kf_iv,
         kf_ref_ratio=2.0,  # always-weak c2: fixed keyframe cadence
         use_lines=os.environ.get("NO_LINES", "") == "",
-        # the small stress variant (slow orbit, dense cadence, 256 feats)
-        # hits the 2-view line-triangulation parallax gap (docs/ROADMAP.md
-        # round-3 quality item): tiny-baseline lines corrupt local BA at
-        # full weight. 0.25 keeps the probe usable; the fix is a
-        # baseline-aware creation gate, not a weight.
-        track_line_info=float(os.environ.get(
-            "LINFO", "0.25" if small else "1.0")),
+        # full line weight in BOTH variants: the dense-cadence stress
+        # regime's tiny-baseline 2-view lines (metric (b/z)sin(theta)
+        # ~ 5e-5) are now rejected by the triangulation-conditioning
+        # creation gate in mapping.create_new_lines (VERDICT r2 #2), so
+        # the former LINFO=0.25 escape hatch is gone.
+        track_line_info=float(os.environ.get("LINFO", "1.0")),
         use_loop_closing=True, grow_map=True,
     )
     slam = System(cfg)

@@ -1,0 +1,92 @@
+"""Baseline-aware line-triangulation creation gate (VERDICT r2 #2).
+
+The reference gates line creation on parallax / depth-ratio / length /
+reprojection / overlap (`/root/reference/src/LocalMapping.cc:1078-1416`).
+This rebuild gates on the triangulation-conditioning metric
+(b/z) * sin(theta) in `mapping.create_new_lines`.  The regimes it must
+separate (measured on the SAME seed-9 orbit scene):
+
+- dense-cadence stress (long_run --cpu geometry, keyframe every 2 frames
+  of a 240-frame orbit): metric ~ 4.5e-5..1e-4 — these 2-view lines
+  corrupted local BA at full weight in round 2 (the LINFO=0.25 escape
+  hatch existed solely for them); the gate must reject them while
+  tracking continues at FULL line weight.
+- healthy cadence (test_lines_help geometry, keyframe every 3 frames of
+  a 40-frame orbit): metric ~ 4e-4..1e-3 — these lines cut ATE ~3x and
+  must pass the gate with near-full soft weight (ln_cond ~ 1).
+"""
+import numpy as np
+
+from plslam_tpu.datasets import synthetic
+from plslam_tpu.models.system import System, SLAMConfig
+
+
+def _cfg(**kw):
+    base = dict(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                k1=0, k2=0, p1=0, p2=0, k3=0,
+                n_features=256, n_levels=2,
+                max_kf=24, max_pt=2048, max_ln=128, n_lf=64,
+                ba_window=5, ba_points=1024, ba_lines=64,
+                use_lines=True, track_line_info=1.0,
+                use_loop_closing=False)
+    base.update(kw)
+    return SLAMConfig(**base)
+
+
+def test_short_baseline_lines_gated_full_weight_survives():
+    """Dense cadence + slow orbit: every 2-view candidate is below the
+    conditioning gate, so NO lines enter the map — and with zero bad
+    lines, full line weight tracks as well as points-only (the round-2
+    failure was losing tracking here at ANY global line weight)."""
+    n = 70
+    scene = synthetic.make_scene(seed=9)
+    Ts = synthetic.trajectory(240, "orbit", amplitude=0.8)[:n]
+    frames = [synthetic.render(scene, T) for T in Ts]
+    slam = System(_cfg(kf_max_interval=2, kf_min_interval=2,
+                       kf_ref_ratio=2.0, grow_map=False))
+    for i, img in enumerate(frames):
+        slam.track_monocular(img, i / 30.0)
+    slam.flush()
+    ms = slam.ms
+    n_ln = int(np.asarray(ms.ln_valid).sum())
+    # the monocular-init pair spans several frames, so a borderline
+    # candidate can legitimately cross the gate (with a ~0.5 soft
+    # weight); the per-keyframe 2-view candidates (metric ~5e-5) must
+    # all be rejected — round 2 accumulated dozens here
+    assert n_ln <= 2, f"gate admitted {n_ln} short-baseline lines"
+    est = {ts: T for ts, T in slam.trajectory}
+    idx = [i for i in range(n) if (i / 30.0) in est]
+    # the slow orbit needs ~25 frames of parallax before monocular init
+    # completes; after that, full-line-weight tracking must never drop a
+    # frame (round 2 LOST tracking here at ANY global line weight)
+    tracked = [i for i in idx if i > 0]
+    assert tracked and tracked[-1] == n - 1 and (
+        len(tracked) == tracked[-1] - tracked[0] + 1), (
+        f"tracking dropped frames after init: {len(tracked)} in "
+        f"[{tracked[0] if tracked else -1}, {tracked[-1] if tracked else -1}]")
+    assert len(tracked) >= 40, f"init too late: tracked {len(tracked)}/{n}"
+    ate = synthetic.ate_rmse(
+        np.stack([est[i / 30.0] for i in idx]), Ts[idx])
+    assert ate < 0.15, f"full-weight ATE {ate:.3f} on the stress regime"
+
+
+def test_healthy_baseline_lines_pass_gate_near_full_weight():
+    """The lines-help cadence creates lines that pass the gate with soft
+    weight ~1 (the regime where lines measurably cut ATE)."""
+    n = 40
+    scene = synthetic.make_scene(seed=9, n_lines=24)
+    Ts = synthetic.trajectory(n, "orbit", amplitude=1.0)
+    frames = [synthetic.render(scene, T) for T in Ts]
+    slam = System(_cfg(n_levels=3, max_pt=4096, max_ln=256, n_lf=96,
+                       ba_points=1024, ba_lines=128,
+                       kf_max_interval=3, kf_min_interval=3,
+                       kf_ref_ratio=2.0, min_init_matches=60))
+    for i, img in enumerate(frames):
+        slam.track_monocular(img, i / 30.0)
+    slam.flush()
+    ms = slam.ms
+    v = np.asarray(ms.ln_valid)
+    assert v.sum() >= 3, f"only {v.sum()} lines survived the gate"
+    cond = np.asarray(ms.ln_cond)[v]
+    assert float(np.median(cond)) >= 0.8, (
+        f"healthy lines got median soft weight {np.median(cond):.2f}")
