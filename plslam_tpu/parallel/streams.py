@@ -73,7 +73,9 @@ def sharded_pose_normal_equations(mesh: Mesh, cam, T, pt_xyz, pt_uv, pt_w,
         b = jax.lax.psum(b, axis)
         return H, b
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
     fn = shard_map(
         local_reduce, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
