@@ -1,0 +1,199 @@
+"""Run the COMPILED C++ reference and this rebuild on the SAME on-disk
+TUM-format photo-textured sequence, and measure both against the exact
+ground truth — the BASELINE.json accuracy contract ("ATE RMSE within 5% of
+the C++ reference") as a measured number instead of a self-referential one.
+
+Pipeline (reference side mirrors `Examples/Monocular/mono_tum.cc:36-126`):
+  1. render an orbit trajectory over the photo-textured scene
+     (`plslam_tpu/datasets/textured.py`) and write it as rgb/ + rgb.txt;
+  2. train a DBoW2 text-format vocabulary from the sequence's own frames
+     with the reference's ORBextractor (tools/train_vocab, built into the
+     headless reference build) — the reference repo ships no vocabulary;
+  3. run the reference `mono_tum` (vocab, yaml, seq) -> KeyFrameTrajectory;
+  4. run this rebuild's `examples/mono_tum.py` on the same files;
+  5. Sim3-align each trajectory against the rendered ground truth and
+     report ATE RMSE + per-frame tracking-time medians side by side.
+
+Usage: python scripts/ref_compare.py [--frames N] [--out results.json]
+Env:   REF_DIR  (default /tmp/refbuild/ref)  — headless reference build
+       SEQ_DIR  (default /tmp/refseq)        — sequence cache (reused)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF_DIR = os.environ.get("REF_DIR", "/tmp/refbuild/ref")
+SEQ_DIR = os.environ.get("SEQ_DIR", "/tmp/refseq")
+
+
+def render_sequence(n: int, fx: float = 500.0, amplitude: float = 3.0) -> None:
+    from plslam_tpu.datasets import synthetic, textured
+    os.makedirs(SEQ_DIR, exist_ok=True)
+    stamp = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}")
+    if os.path.exists(stamp):
+        return
+    scene = textured.make_photo_scene(seed=5, fx=fx, fy=fx)
+    Ts = synthetic.trajectory(n, "orbit", amplitude=amplitude)
+    frames = [synthetic.render(scene, T) for T in Ts]
+    tss = [i / 30.0 for i in range(n)]
+    textured.write_tum_sequence(SEQ_DIR, frames, tss)
+    np.save(os.path.join(SEQ_DIR, "gt_Tcw.npy"), np.stack(Ts))
+    yaml = f"""%YAML:1.0
+Camera.fx: {fx}
+Camera.fy: {fx}
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.k3: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30.0
+Camera.RGB: 1
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+LINEextractor.nLevels: 1
+LINEextractor.scaleFactor: 1.2
+LINEextractor.nFeatures: 128
+LINEextractor.min_line_length: 0
+Viewer.KeyFrameSize: 0.05
+Viewer.KeyFrameLineWidth: 1
+Viewer.GraphLineWidth: 0.9
+Viewer.PointSize: 2
+Viewer.CameraSize: 0.08
+Viewer.CameraLineWidth: 3
+Viewer.ViewpointX: 0
+Viewer.ViewpointY: -0.7
+Viewer.ViewpointZ: -1.8
+Viewer.ViewpointF: 500
+Viewer.LineWidth: 1.5
+"""
+    with open(os.path.join(SEQ_DIR, "settings.yaml"), "w") as f:
+        f.write(yaml)
+    open(stamp, "w").close()
+
+
+def train_vocab() -> str:
+    voc = os.path.join(SEQ_DIR, "voc.txt")
+    if not os.path.exists(voc):
+        tool = os.path.join(REF_DIR, "tools", "train_vocab")
+        subprocess.run([tool, os.path.join(SEQ_DIR, "rgb"), voc, "10", "4"],
+                       check=True)
+    return voc
+
+
+def sim3_ate(est_c: np.ndarray, gt_c: np.ndarray) -> float:
+    mu_e, mu_g = est_c.mean(0), gt_c.mean(0)
+    E, G = est_c - mu_e, gt_c - mu_g
+    U, D, Vt = np.linalg.svd(G.T @ E)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    s = (D * np.diag(S)).sum() / max((E * E).sum(), 1e-12)
+    return float(np.sqrt(
+        (np.linalg.norm((s * (R @ E.T)).T - G, axis=1) ** 2).mean()))
+
+
+def eval_traj(path: str, n: int):
+    """ATE RMSE of a TUM-format trajectory vs the rendered ground truth."""
+    Ts = np.load(os.path.join(SEQ_DIR, "gt_Tcw.npy"))
+    tss = [i / 30.0 for i in range(n)]
+    rows = [l.split() for l in open(path) if l.strip() and l[0] != "#"]
+    by_ts = {round(float(r[0]), 6): np.array([float(v) for v in r[1:4]])
+             for r in rows}
+    idx = [i for i in range(n) if round(tss[i], 6) in by_ts]
+    if len(idx) < 8:
+        return None, len(idx)
+    est_c = np.stack([by_ts[round(tss[i], 6)] for i in idx])
+    gt_c = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
+    span = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
+    return {"ate": sim3_ate(est_c, gt_c), "span": span,
+            "n_poses": len(idx)}, len(idx)
+
+
+def run_reference(voc: str, n: int):
+    exe = os.path.join(REF_DIR, "Examples", "Monocular", "mono_tum")
+    t0 = time.perf_counter()
+    p = subprocess.run(
+        [exe, voc, os.path.join(SEQ_DIR, "settings.yaml"), SEQ_DIR],
+        cwd=SEQ_DIR, capture_output=True, text=True, timeout=3600)
+    wall = time.perf_counter() - t0
+    sys.stdout.write(p.stdout[-2000:])
+    sys.stderr.write(p.stderr[-2000:])
+    med = mean = None
+    for line in p.stdout.splitlines():
+        if "median tracking time" in line:
+            med = float(line.split(":")[1])
+        if "mean tracking time" in line:
+            mean = float(line.split(":")[1])
+    res, _ = eval_traj(os.path.join(SEQ_DIR, "KeyFrameTrajectory.txt"), n)
+    return {"rc": p.returncode, "wall_s": wall,
+            "median_track_s": med, "mean_track_s": mean, "traj": res}
+
+
+def run_ours(n: int):
+    import examples.mono_tum as mono_tum
+    out = os.path.join(SEQ_DIR, "OursTrajectory.txt")
+    argv, cwd = sys.argv, os.getcwd()
+    t0 = time.perf_counter()
+    try:
+        os.chdir(SEQ_DIR)
+        sys.argv = ["mono_tum.py", os.path.join(SEQ_DIR, "settings.yaml"),
+                    SEQ_DIR, out]
+        rc = mono_tum.main()
+    finally:
+        sys.argv, _ = argv, os.chdir(cwd)
+    wall = time.perf_counter() - t0
+    res, _ = eval_traj(out, n)
+    return {"rc": rc, "wall_s": wall, "traj": res}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--amplitude", type=float, default=3.0)
+    ap.add_argument("--out", default=os.path.join(SEQ_DIR, "compare.json"))
+    ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--skip-ref", action="store_true")
+    args = ap.parse_args()
+
+    print(f"rendering {args.frames} frames -> {SEQ_DIR}", flush=True)
+    render_sequence(args.frames, amplitude=args.amplitude)
+    results = {"frames": args.frames}
+    if not args.skip_ref:
+        voc = train_vocab()
+        print("running C++ reference mono_tum ...", flush=True)
+        results["reference"] = run_reference(voc, args.frames)
+        print(json.dumps(results["reference"], indent=1), flush=True)
+    if not args.skip_ours:
+        print("running rebuild examples/mono_tum.py ...", flush=True)
+        results["ours"] = run_ours(args.frames)
+        print(json.dumps(results["ours"], indent=1), flush=True)
+    ref_t = (results.get("reference") or {}).get("traj")
+    our_t = (results.get("ours") or {}).get("traj")
+    if ref_t and our_t:
+        results["ate_ratio_ours_over_ref"] = our_t["ate"] / max(
+            ref_t["ate"], 1e-12)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
