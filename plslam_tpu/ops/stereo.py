@@ -36,13 +36,19 @@ def stereo_match(feats_l, feats_r, img_l, img_r, fx: float, baseline: float,
     ok = best <= TH_HIGH
 
     # --- SAD subpixel refinement around the matched right column ---
-    w = 2 * sad_half + 1
-    patch_l = _gather_patches(img_l, feats_l.uv, sad_half)          # (N,w,w)
-    u_r0 = feats_r.uv[idx, 0]
-    v_r = feats_r.uv[idx, 1]
+    # Patch gathers land on the integer pixel grid, so BOTH coordinates
+    # must be rounded to that grid and the refined column expressed
+    # relative to it: mixing the keypoints' fractional coordinates with
+    # integer-grid patches biased disparity by up to 1px (z^2/(fx b)
+    # amplified — the round-2 far-field p90 ~5% depth-error tail).
+    ul_i = jnp.round(feats_l.uv[:, 0])
+    uv_l_g = jnp.stack([ul_i, jnp.round(feats_l.uv[:, 1])], -1)
+    patch_l = _gather_patches(img_l, uv_l_g, sad_half)              # (N,w,w)
+    ur_i = jnp.round(feats_r.uv[idx, 0])
+    v_r = jnp.round(feats_r.uv[idx, 1])
 
     def sad_at(offset):
-        uv_r = jnp.stack([u_r0 + offset, v_r], -1)
+        uv_r = jnp.stack([ur_i + offset, v_r], -1)
         p = _gather_patches(img_r, uv_r, sad_half)
         return jnp.mean(jnp.abs(p - patch_l), axis=(-1, -2))        # (N,)
 
@@ -55,9 +61,26 @@ def stereo_match(feats_l, feats_r, img_l, img_r, fx: float, baseline: float,
     s_p = jnp.take_along_axis(sads, (bc + 1)[:, None], -1)[:, 0]
     denom = jnp.maximum(s_m - 2 * s_0 + s_p, 1e-6)
     frac = jnp.clip(0.5 * (s_m - s_p) / denom, -1.0, 1.0)
-    u_r = u_r0 + offs[bc] + frac
+    u_r = ur_i + offs[bc] + frac
 
-    disparity = feats_l.uv[:, 0] - u_r
+    # second pass at half-pixel step with horizontally-bilinear right
+    # patches: the integer-grid parabola leaves ~0.2px of disparity noise,
+    # which z^2/(fx b) amplifies into the far-field depth-error tail
+    def sad_at_f(u):                                                # (N,)
+        f = jnp.floor(u)
+        wfrac = (u - f)[:, None, None]
+        p0 = _gather_patches(img_r, jnp.stack([f, v_r], -1), sad_half)
+        p1 = _gather_patches(img_r, jnp.stack([f + 1.0, v_r], -1), sad_half)
+        p = (1.0 - wfrac) * p0 + wfrac * p1
+        return jnp.mean(jnp.abs(p - patch_l), axis=(-1, -2))
+
+    h = 0.5
+    s2m, s20, s2p = sad_at_f(u_r - h), sad_at_f(u_r), sad_at_f(u_r + h)
+    den2 = jnp.maximum(s2m - 2 * s20 + s2p, 1e-6)
+    frac2 = jnp.clip(h * 0.5 * (s2m - s2p) / den2, -h, h)
+    u_r = u_r + frac2
+
+    disparity = ul_i - u_r
     ok = ok & (disparity > 0.1) & (disparity <= max_disp)
     # fine-octave keypoints only: disparity noise scales with the octave's
     # localization error, and depth error amplifies it by z^2/(fx b)
