@@ -586,10 +586,18 @@ def ba_writeback(ms: MapState, s: BASelection, res) -> MapState:
                                           s.l_has)
     win_pt_idx, win_ln_idx = s.win_pt_idx, s.win_ln_idx
 
-    new_kf_T = ms.kf_T.at[ids_c].set(
-        jnp.where(kf_mask[:, None, None], res.kf_T, ms.kf_T[ids_c]))
-    new_pt = ms.pt_xyz.at[sel].set(
-        jnp.where(sel_ok[:, None], res.pt_xyz, ms.pt_xyz[sel]))
+    # Masked scatters are phrased gather-free: invalid slots get an
+    # out-of-bounds index and mode="drop" discards them, instead of
+    # .at[ids].set(where(ok, new, x[ids])). Equivalent, cheaper (no
+    # gather), and avoids a scatter-fused-with-gather pattern that the
+    # 2026-08 TPU compiler's sorted-scatter emitter CHECK-fails on
+    # (fusion_emitter.cc:4796 GetGatherType == kSublaneGather).
+    K_all = ms.kf_T.shape[0]
+    ids_kf = jnp.where(kf_mask, ids_c, K_all)
+    new_kf_T = ms.kf_T.at[ids_kf].set(res.kf_T, mode="drop")
+    P_all = ms.pt_xyz.shape[0]
+    new_pt = ms.pt_xyz.at[jnp.where(sel_ok, sel, P_all)].set(
+        jax.lax.optimization_barrier(res.pt_xyz), mode="drop")
     # The endpoint-to-infinite-line residual leaves each endpoint's
     # along-line direction unconstrained (an exact null space); LM noise
     # slides endpoints off to infinity. Keep the OPTIMIZED infinite line but
@@ -601,20 +609,21 @@ def ba_writeback(ms: MapState, s: BASelection, res) -> MapState:
     ta = jnp.sum((old_ln[:, 0] - new_a) * d, axis=-1)
     tb = jnp.sum((old_ln[:, 1] - new_a) * d, axis=-1)
     pinned = jnp.stack([new_a + ta[:, None] * d, new_a + tb[:, None] * d], axis=1)
-    new_ln = ms.ln_xyz.at[lsel].set(
-        jnp.where(lsel_ok[:, None, None], pinned, ms.ln_xyz[lsel]))
+    L_all = ms.ln_xyz.shape[0]
+    new_ln = ms.ln_xyz.at[jnp.where(lsel_ok, lsel, L_all)].set(
+        jax.lax.optimization_barrier(pinned), mode="drop")
 
     # --- erase outlier observations (src/Optimizer.cc:2044-2067) ---
     obs_bad = s.prob.obs_mask & ~res.obs_inlier   # (W, p_ba)
     bad_here = has & jax.vmap(lambda b, s: b[s])(obs_bad, slot_safe)  # (W, N)
     new_rows = jnp.where(bad_here, -1, win_pt_idx)
-    new_kf_pt_idx = ms.kf_pt_idx.at[ids_c].set(
-        jnp.where(kf_mask[:, None], new_rows, ms.kf_pt_idx[ids_c]))
+    new_kf_pt_idx = ms.kf_pt_idx.at[ids_kf].set(
+        jax.lax.optimization_barrier(new_rows), mode="drop")
     l_obs_bad = s.prob.ln_obs_mask & ~res.ln_obs_inlier
     l_bad_here = l_has & jax.vmap(lambda b, s: b[s])(l_obs_bad, l_slot_safe)
     l_new_rows = jnp.where(l_bad_here, -1, win_ln_idx)
-    new_kf_ln_idx = ms.kf_ln_idx.at[ids_c].set(
-        jnp.where(kf_mask[:, None], l_new_rows, ms.kf_ln_idx[ids_c]))
+    new_kf_ln_idx = ms.kf_ln_idx.at[ids_kf].set(
+        jax.lax.optimization_barrier(l_new_rows), mode="drop")
 
     ms = ms._replace(kf_T=new_kf_T, pt_xyz=new_pt, ln_xyz=new_ln,
                      kf_pt_idx=new_kf_pt_idx, kf_ln_idx=new_kf_ln_idx)
