@@ -34,15 +34,33 @@ def _make_bit_selection(seed: int = 271828) -> np.ndarray:
 BIT_SEL = _make_bit_selection()
 
 
+# Optional drop-in vocabulary (DBoW2 ORBvoc text format, `orbvoc.py`):
+# when set, word assignment + weighting go through the loaded tree instead
+# of the LSH default. Must be set BEFORE any MapState is allocated (the
+# kf_bow width is N_WORDS at allocation time).
+_VOCAB = None
+
+
+def set_vocabulary(voc) -> None:
+    """Install an `orbvoc.OrbVocabulary` (or None to restore LSH words)."""
+    global _VOCAB, N_WORDS
+    _VOCAB = voc
+    N_WORDS = voc.n_words if voc is not None else (1 << N_WORDS_BITS)
+
+
 def words_of(desc_bits):
-    """(N, 256) {0,1} -> (N,) int32 word ids via LSH bit selection."""
+    """(N, 256) {0,1} -> (N,) int32 word ids (LSH, or vocabulary tree)."""
+    if _VOCAB is not None:
+        return _VOCAB.words_of(desc_bits)
     sel = desc_bits[..., jnp.asarray(BIT_SEL)].astype(jnp.int32)  # (N, 12)
     weights = (1 << jnp.arange(N_WORDS_BITS, dtype=jnp.int32))
     return jnp.sum(sel * weights, axis=-1)
 
 
 def bow_vector(desc_bits, valid):
-    """(N,256),(N,) -> (N_WORDS,) L1-normalized tf histogram."""
+    """(N,256),(N,) -> (N_WORDS,) L1-normalized (tf or tf-idf) histogram."""
+    if _VOCAB is not None:
+        return _VOCAB.bow_vector(desc_bits, valid)
     w = words_of(desc_bits)
     hist = jnp.zeros((N_WORDS,), jnp.float32).at[w].add(valid.astype(jnp.float32))
     return hist / jnp.maximum(hist.sum(), 1e-9)

@@ -1,0 +1,91 @@
+"""ORBvoc-format vocabulary: DBoW2 text parsing, TPU tree descent parity
+with the greedy host descent, train -> save -> load roundtrip, and the
+retrieval-quality bar of `test_vocab_quality` passed THROUGH the tree
+vocabulary installed behind `bow.set_vocabulary` (VERDICT r2 item 9).
+
+Format reference: `Thirdparty/DBoW2/TemplatedVocabulary.h:1350-1461`
+(loadFromTextFile/saveToTextFile), descent `TemplatedVocabulary::transform`.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _rand_bits(rng, n):
+    return (rng.random((n, 256)) < 0.5).astype(np.uint8)
+
+
+def test_text_roundtrip_and_descent_parity(tmp_path):
+    from plslam_tpu.vocab import orbvoc
+
+    rng = np.random.default_rng(0)
+    imgs = [_rand_bits(rng, 120) for _ in range(6)]
+    voc = orbvoc.train(imgs, k=4, L=3, seed=1)
+    assert voc.n_words > 16
+
+    p = str(tmp_path / "voc.txt")
+    orbvoc.save_text(voc, p)
+    voc2 = orbvoc.load_text(p)
+    assert (voc2.k, voc2.L, voc2.n_words) == (voc.k, voc.L, voc.n_words)
+
+    q = _rand_bits(rng, 64)
+    w_dev = np.asarray(voc2.words_of(jnp.asarray(q)))
+    w_host = orbvoc.words_of_np(voc2, q)
+    assert (w_dev == w_host).all(), "device descent != greedy host descent"
+    # roundtrip preserves the word assignment
+    assert (np.asarray(voc.words_of(jnp.asarray(q))) == w_dev).all()
+
+    # idf weights survive the roundtrip
+    np.testing.assert_allclose(np.asarray(voc._weights),
+                               np.asarray(voc2._weights), rtol=1e-5)
+
+
+def test_bow_retrieval_through_tree_vocabulary():
+    """Same bar as test_vocab_quality, but word assignment goes through a
+    self-trained tree vocabulary installed with bow.set_vocabulary."""
+    from plslam_tpu.datasets import synthetic, textured
+    from plslam_tpu.ops import extract
+    from plslam_tpu.vocab import bow, orbvoc
+
+    scene = textured.make_photo_scene(seed=3)
+    n = 24
+    Ts = synthetic.trajectory(n, "loop", amplitude=2.2)
+    frames = [synthetic.render(scene, T) for T in Ts]
+
+    cfgE = extract.ExtractorConfig(n_features=512, n_levels=3)
+    ext = jax.jit(lambda im: extract.extract_points(im, cfgE))
+    descs, valids = [], []
+    for f in frames:
+        feats = ext(jnp.asarray(f))
+        descs.append(np.asarray(feats.desc, np.uint8))
+        valids.append(np.asarray(feats.valid, bool))
+
+    # train on every 3rd frame only (held-out queries still must resolve)
+    voc = orbvoc.train([d[v] for d, v in zip(descs, valids)][::3],
+                       k=8, L=3, seed=0)
+    bow.set_vocabulary(voc)
+    try:
+        bows = np.stack([
+            np.asarray(bow.bow_vector(jnp.asarray(d), jnp.asarray(v)))
+            for d, v in zip(descs, valids)])
+    finally:
+        bow.set_vocabulary(None)
+
+    C = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    Z = np.stack([T[:3, :3].T @ np.array([0, 0, 1.0]) for T in Ts])
+    ang = np.arccos(np.clip(Z @ Z.T, -1, 1))
+    dist = np.linalg.norm(C[:, None] - C[None, :], axis=-1)
+    relevant = (ang < 0.25) & (dist < 0.6)
+
+    hits1 = total = 0
+    for i in range(n):
+        cand = [j for j in range(n) if abs(i - j) > 4]
+        if not any(relevant[i, j] for j in cand):
+            continue
+        sc = np.minimum(bows[i][None, :], bows[cand]).sum(-1)
+        total += 1
+        if relevant[i, cand[int(np.argmax(sc))]]:
+            hits1 += 1
+    assert total >= 8
+    assert hits1 / total >= 0.8, f"precision@1 {hits1 / total:.2f}"
