@@ -126,12 +126,29 @@ def main():
     fps = n_steady / wall
     kf_in_steady = sum(1 for s in slam.stats[-n_steady:] if s.get("kf"))
 
-    # upload-included throughput (host-memory frames through the same pass)
+    # upload-included throughput: host-memory frames through the SAME
+    # chunked pipeline, uploads staged ahead with async device_put so the
+    # host->device transfer of chunk i+1/i+2 overlaps chunk i's compute
+    # (the production input-pipeline shape: native loader decodes, the
+    # runtime streams; VERDICT r2 item 4). The old per-frame feed paid a
+    # full relay dispatch + synchronous upload per frame.
+    host_chunks = [np.stack(frames_u8[c0:c0 + CHUNK])
+                   for c0 in range(0, n_frames - CHUNK + 1, CHUNK)]
     t0 = time.perf_counter()
-    n_up = 20
-    for j in range(n_up):
-        slam.track_monocular(frames_u8[(n_frames - 1 - j) % n_frames],
-                             70.0 + j / 30.0)
+    n_up = 0
+    DEPTH = 2
+    staged = [jax.device_put(host_chunks[j]) for j in range(DEPTH)]
+    for rep in range(2):
+        for ci in range(len(host_chunks)):
+            nxt = ci + DEPTH
+            if nxt < len(host_chunks):
+                staged.append(jax.device_put(host_chunks[nxt]))
+            imgs = staged.pop(0)
+            slam.track_chunked(
+                imgs, [70.0 + rep * 10.0 + (ci * CHUNK + j) / 30.0
+                       for j in range(CHUNK)])
+            n_up += CHUNK
+        staged = [jax.device_put(host_chunks[j]) for j in range(DEPTH)]
     slam.flush()
     jax.block_until_ready(slam.T_last)
     up_fps = n_up / (time.perf_counter() - t0)

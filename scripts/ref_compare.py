@@ -35,14 +35,29 @@ REF_DIR = os.environ.get("REF_DIR", "/tmp/refbuild/ref")
 SEQ_DIR = os.environ.get("SEQ_DIR", "/tmp/refseq")
 
 
-def render_sequence(n: int, fx: float = 500.0, amplitude: float = 3.0) -> None:
+def render_sequence(n: int, fx: float = 500.0, amplitude: float = 3.0,
+                    z_offset: float = 4.5) -> None:
+    """Render the head-to-head sequence.
+
+    z_offset moves the camera toward the back wall (world +z): the room's
+    walls sit ~9 m from the origin, and a monocular tracker at fx=500 with
+    ~1.7 cm/frame baseline gets a baseline-to-depth ratio of ~0.002 there —
+    below even the reference's own creation gate (`LocalMapping.cc:
+    CreateNewMapPoints` skips pairs with baseline/medianDepth < 0.01), so
+    BOTH systems starve and die mid-sequence (measured: each produced
+    exactly 23 KFs then lost tracking for good). At ~4.5 m of scene depth
+    the same motion is properly conditioned and the comparison measures
+    tracking quality instead of a degenerate geometry."""
     from plslam_tpu.datasets import synthetic, textured
     os.makedirs(SEQ_DIR, exist_ok=True)
-    stamp = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}")
+    stamp = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}")
     if os.path.exists(stamp):
         return
     scene = textured.make_photo_scene(seed=5, fx=fx, fy=fx)
     Ts = synthetic.trajectory(n, "orbit", amplitude=amplitude)
+    if z_offset:
+        for T in Ts:
+            T[:3, 3] -= T[:3, :3] @ np.array([0.0, 0.0, z_offset], T.dtype)
     frames = [synthetic.render(scene, T) for T in Ts]
     tss = [i / 30.0 for i in range(n)]
     textured.write_tum_sequence(SEQ_DIR, frames, tss)
@@ -110,20 +125,30 @@ def sim3_ate(est_c: np.ndarray, gt_c: np.ndarray) -> float:
 
 
 def eval_traj(path: str, n: int):
-    """ATE RMSE of a TUM-format trajectory vs the rendered ground truth."""
+    """ATE RMSE of a TUM-format trajectory vs the rendered ground truth.
+
+    Timestamps are matched by nearest frame index (round(ts*fps)): the
+    reference's SaveKeyFrameTrajectoryTUM prints 6 SIGNIFICANT digits
+    (`setprecision(6)`, Examples/Monocular/mono_tum.cc), so ts >= 1.0 s
+    loses decimals and exact string/rounding matches silently drop poses.
+    """
     Ts = np.load(os.path.join(SEQ_DIR, "gt_Tcw.npy"))
-    tss = [i / 30.0 for i in range(n)]
     rows = [l.split() for l in open(path) if l.strip() and l[0] != "#"]
-    by_ts = {round(float(r[0]), 6): np.array([float(v) for v in r[1:4]])
-             for r in rows}
-    idx = [i for i in range(n) if round(tss[i], 6) in by_ts]
+    by_idx = {}
+    for r in rows:
+        ts = float(r[0])
+        i = int(round(ts * 30.0))
+        if 0 <= i < n and abs(ts - i / 30.0) < 2e-3:
+            by_idx[i] = np.array([float(v) for v in r[1:4]])
+    idx = sorted(by_idx)
     if len(idx) < 8:
         return None, len(idx)
-    est_c = np.stack([by_ts[round(tss[i], 6)] for i in idx])
+    est_c = np.stack([by_idx[i] for i in idx])
     gt_c = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
     span = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
     return {"ate": sim3_ate(est_c, gt_c), "span": span,
-            "n_poses": len(idx)}, len(idx)
+            "n_poses": len(idx), "first_frame": idx[0],
+            "last_frame": idx[-1]}, len(idx)
 
 
 def run_reference(voc: str, n: int):
@@ -141,18 +166,24 @@ def run_reference(voc: str, n: int):
             med = float(line.split(":")[1])
         if "mean tracking time" in line:
             mean = float(line.split(":")[1])
-    res, _ = eval_traj(os.path.join(SEQ_DIR, "KeyFrameTrajectory.txt"), n)
+    # preserve the reference's keyframe file: the rebuild side also writes a
+    # KeyFrameTrajectory.txt into its cwd and must not clobber this one
+    kf_ref = os.path.join(SEQ_DIR, "RefKeyFrameTrajectory.txt")
+    os.replace(os.path.join(SEQ_DIR, "KeyFrameTrajectory.txt"), kf_ref)
+    res, _ = eval_traj(kf_ref, n)
     return {"rc": p.returncode, "wall_s": wall,
             "median_track_s": med, "mean_track_s": mean, "traj": res}
 
 
 def run_ours(n: int):
     import examples.mono_tum as mono_tum
-    out = os.path.join(SEQ_DIR, "OursTrajectory.txt")
+    out_dir = os.path.join(SEQ_DIR, "ours_out")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "OursTrajectory.txt")
     argv, cwd = sys.argv, os.getcwd()
     t0 = time.perf_counter()
     try:
-        os.chdir(SEQ_DIR)
+        os.chdir(out_dir)
         sys.argv = ["mono_tum.py", os.path.join(SEQ_DIR, "settings.yaml"),
                     SEQ_DIR, out]
         rc = mono_tum.main()
@@ -160,21 +191,39 @@ def run_ours(n: int):
         sys.argv, _ = argv, os.chdir(cwd)
     wall = time.perf_counter() - t0
     res, _ = eval_traj(out, n)
-    return {"rc": rc, "wall_s": wall, "traj": res}
+    kf_res, _ = eval_traj(os.path.join(out_dir, "KeyFrameTrajectory.txt"), n)
+    return {"rc": rc, "wall_s": wall, "traj": res, "kf_traj": kf_res}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--amplitude", type=float, default=3.0)
+    ap.add_argument("--z-offset", type=float, default=4.5,
+                    help="move the camera this far toward the back wall "
+                         "(see render_sequence docstring)")
     ap.add_argument("--out", default=os.path.join(SEQ_DIR, "compare.json"))
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for the rebuild side "
+                         "(same host the reference binary ran on)")
     args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     print(f"rendering {args.frames} frames -> {SEQ_DIR}", flush=True)
-    render_sequence(args.frames, amplitude=args.amplitude)
+    render_sequence(args.frames, amplitude=args.amplitude,
+                    z_offset=args.z_offset)
     results = {"frames": args.frames}
+    if os.path.exists(args.out):
+        # merge with a prior partial run (e.g. --skip-ours then --skip-ref)
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("frames") == args.frames:
+            results.update({k: v for k, v in prev.items() if k != "frames"})
     if not args.skip_ref:
         voc = train_vocab()
         print("running C++ reference mono_tum ...", flush=True)
@@ -185,7 +234,11 @@ def main():
         results["ours"] = run_ours(args.frames)
         print(json.dumps(results["ours"], indent=1), flush=True)
     ref_t = (results.get("reference") or {}).get("traj")
-    our_t = (results.get("ours") or {}).get("traj")
+    ours = results.get("ours") or {}
+    # apples-to-apples: the reference only exports keyframe poses
+    # (mono_tum.cc calls SaveKeyFrameTrajectoryTUM), so the headline ratio
+    # compares keyframe trajectories; the full per-frame ATE is reported too
+    our_t = ours.get("kf_traj") or ours.get("traj")
     if ref_t and our_t:
         results["ate_ratio_ours_over_ref"] = our_t["ate"] / max(
             ref_t["ate"], 1e-12)
