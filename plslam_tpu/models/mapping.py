@@ -134,12 +134,20 @@ def _fundamental_between(cam, T1, T2):
 
 
 def create_new_points(cam, ms: MapState, k_new, k_ref, sigma2_levels,
-                      scale_factors, nn_ratio: float = 0.6) -> MapState:
+                      scale_factors, nn_ratio: float = 0.6,
+                      min_baseline_depth: float = 0.01) -> MapState:
     """Triangulate new map points between two keyframes
     (`CreateNewMapPoints`, `src/LocalMapping.cc:329`): epipolar-gated
     Hamming matching of yet-unmatched keypoints, batched DLT, then the
     reference's acceptance gates (cheirality, parallax, reprojection,
-    scale consistency), appended with prefix-sum slots."""
+    scale consistency), appended with prefix-sum slots.
+
+    The whole pair is skipped when baseline / median scene depth <
+    `min_baseline_depth` (the reference's mono gate, `LocalMapping.cc:
+    ~400` `ratioBaselineDepth < 0.01 -> continue`): triangulating at that
+    conditioning yields depth noise of sigma_z/z ~ (z / (fx b)) per pixel
+    — tens of percent — and such landmarks poison tracking and BA. Pairs
+    here are masked arrays, so 'skip' = mask the creation flags."""
     P = ms.pt_xyz.shape[0]
     N = ms.kf_uv.shape[1]
     T1 = ms.kf_T[k_new]
@@ -203,8 +211,22 @@ def create_new_points(cam, ms: MapState, k_new, k_ref, sigma2_levels,
     scale_ok = (ratio_dist * ratio_factor > ratio_oct) & (
         ratio_dist < ratio_oct * ratio_factor)
 
+    # pair-level conditioning gate: baseline vs median depth of the new
+    # keyframe's already-matched landmarks (medianDepthKF2 analog)
+    baseline = jnp.linalg.norm(c1 - c2)
+    obs_idx = ms.kf_pt_idx[k_new]
+    obs_ok = (obs_idx >= 0) & ms.pt_valid[jnp.clip(obs_idx, 0, P - 1)]
+    z_obs = se3.transform(T1, ms.pt_xyz[jnp.clip(obs_idx, 0, P - 1)])[:, 2]
+    z_sorted = jnp.sort(jnp.where(obs_ok, z_obs, jnp.inf))
+    n_obs_med = jnp.sum(obs_ok.astype(jnp.int32))
+    med_depth = z_sorted[jnp.clip(n_obs_med // 2, 0, N - 1)]
+    # no observed landmarks yet (fresh init): fall back to permissive
+    pair_ok = jnp.where(
+        (n_obs_med >= 10) & jnp.isfinite(med_depth),
+        baseline >= min_baseline_depth * med_depth, True)
+
     create = (ok & finite & (z1 > 0) & (z2 > 0) & (cosp < 0.9998)
-              & (e1 < CHI2_2D) & (e2 < CHI2_2D) & scale_ok)
+              & (e1 < CHI2_2D) & (e2 < CHI2_2D) & scale_ok & pair_ok)
 
     slots, accepted, n_pt_new = mstate.append_slots(ms.n_pt, create, P)
 
@@ -1115,13 +1137,20 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     ms = insert_keyframe(cam, ms, feats, T, matched_pt, frame_id,
                          scale_factors, lfeats=lfeats, matched_ln=matched_ln,
                          desc_majority=desc_majority)
+    # Triangulation pairs: deepest baseline first (its better-conditioned
+    # points claim the keypoint slots; shallower pairs fill what remains),
+    # each pair gated on baseline/medianDepth >= 0.01 inside
+    # create_new_points. The reference iterates the 10-20 best covisible
+    # neighbors (`LocalMapping.cc:329`); on a sequential trajectory the
+    # {1,2,4,8}-back ladder spans the same baseline range at fixed cost.
+    for back in (8, 4, 2):
+        ms = jax.lax.cond(
+            k_new >= back,
+            lambda m, b=back: create_new_points(
+                cam, m, k_new, k_new - b, sigma2_levels, scale_factors),
+            lambda m, b=back: m, ms)
     ms = create_new_points(cam, ms, k_new, k_new - 1, sigma2_levels,
                            scale_factors)
-    ms = jax.lax.cond(
-        k_new >= 2,
-        lambda m: create_new_points(cam, m, k_new, k_new - 2, sigma2_levels,
-                                    scale_factors),
-        lambda m: m, ms)
     if lfeats is not None:
         for back in (1, 2, 3):
             # 3-view support (CreateNewMapLinesConstraint) when a third

@@ -59,18 +59,29 @@ class SLAMConfig:
                                     # reference's map is unbounded; SURVEY §7
                                     # hard part 5). Each growth event costs
                                     # one recompile of the keyframe programs.
-    hard_max_kf: int = 4096         # growth ceilings (HBM safety)
-    hard_max_pt: int = 262144
-    hard_max_ln: int = 16384
+    hard_max_kf: int = 4096         # growth ceilings (HBM safety).
+    # hard_max_pt bounds the (N, P) Hamming/pixel-distance matrices that
+    # tracking / relocalize / sim3 / loop_fuse build against the FULL point
+    # array: at N=1024 each (N, P) int32 is P*4 KB — 256 MB at 64k points,
+    # several live per program. 64k is the largest the v5-lite HBM budget
+    # sustains with headroom (ADVICE r2: the former 262144 ceiling would
+    # OOM the chip well before being reached).
+    hard_max_pt: int = 65536
+    hard_max_ln: int = 8192
     # policy
     min_init_matches: int = 100
     min_track_inliers: int = 10
     reloc_min_inliers: int = 50  # acceptance ladder (src/Tracking.cc:2229)
-    kf_min_interval: int = 3  # mapper-idle rate limit equivalent
-    kf_max_interval: int = 10
+    # keyframe cadence: a 6-frame floor keeps consecutive-KF baselines
+    # wide enough to triangulate well-conditioned landmarks (measured on
+    # the photo-room head-to-head, scripts/ref_compare.py: min_interval 3
+    # -> 6 alone cut keyframe ATE 6x; the reference's effective cadence on
+    # the same sequence was ~23 frames/KF)
+    kf_min_interval: int = 6  # mapper-idle rate limit equivalent
+    kf_max_interval: int = 12
     kf_ref_ratio: float = 0.9
     ba_window: int = 8
-    ba_points: int = 4096
+    ba_points: int = 3072
     ba_lines: int = 256
     use_lines: bool = True
     desc_majority: bool = False  # map-point representative descriptor:
