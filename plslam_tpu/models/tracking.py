@@ -286,8 +286,11 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         ln_visible = jnp.zeros(ms.ln_valid.shape, bool)
         obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
                                 *pose_opt.PoseObs.empty_lines(1))
-    res2 = pose_opt.pose_optimize(cam, T_mid, obs2, rounds=3,
-                                  iters_per_round=7)
+    # reference parity: PoseOptimization runs 4 rounds x 10 LM iterations
+    # (`src/Optimizer.cc:851-863`); the round-2 3x7 saved compute but
+    # under-converges exactly when landmarks are good enough to deserve it
+    res2 = pose_opt.pose_optimize(cam, T_mid, obs2, rounds=4,
+                                  iters_per_round=10)
 
     inlier = res2.pt_inlier & m2
     matched_pt = jnp.where(inlier, idx2.astype(jnp.int32), -1)
