@@ -485,10 +485,26 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
 
 def ba_select(ms: MapState, sigma2_levels, window: int = 8,
               p_ba: int = 4096, l_ba: int = 512,
-              rank_by_obs: bool = False) -> BASelection:
+              rank_by_obs: bool = False,
+              n_fixed_tail: int = 0) -> BASelection:
     """Select the last `window` keyframes + their observed landmarks into a
     fixed-shape :class:`BAProblem` (the window-selection half of
     `LocalBundleAdjustmentWithLine`).
+
+    `n_fixed_tail` extra keyframes PRECEDING the window enter as FIXED
+    cameras whose observations constrain the selected landmarks without
+    being optimized — the reference's lFixedCameras (`src/Optimizer.cc:
+    1699-1716`: every KF outside the local window that sees a local point).
+    On a sequential trajectory those observers are overwhelmingly the
+    immediately preceding keyframes, so a fixed tail captures them at
+    static shape. MEASURED WORSE on the photo-room head-to-head (170-frame
+    probe: keyframe ATE 0.031 tail=0 vs 0.040 tail=4): under monocular
+    drift the fixed tail anchors the window to already-drifted poses and
+    propagates their error, so it defaults OFF — the negative result is
+    kept because metric-scale sensors (stereo/RGBD), where old poses don't
+    carry scale drift, are the regime the reference designed it for.
+    Ignored for the global problem (rank_by_obs=True), where the window
+    already spans the map.
 
     `rank_by_obs` picks the cap policy when the landmark budget binds:
     False = prefer recent ids (LOCAL BA: freshly-triangulated points need
@@ -503,24 +519,35 @@ def ba_select(ms: MapState, sigma2_levels, window: int = 8,
     K_all = ms.kf_T.shape[0]
     P = ms.pt_xyz.shape[0]
     N = ms.kf_uv.shape[1]
-    W = window
+    n_tail = 0 if rank_by_obs else min(n_fixed_tail, K_all - window)
+    W = window + n_tail
 
     k_new = ms.n_kf - 1
     ids = k_new - W + 1 + jnp.arange(W)         # (W,) global kf ids
     kf_ok = (ids >= 0) & (ids < K_all)
     ids_c = jnp.clip(ids, 0, K_all - 1)
     kf_mask = kf_ok & ms.kf_valid[ids_c]
-    # fix the two oldest valid slots: 2 fixed cameras pin the scale gauge
+    # fixed cameras: the observer tail, plus (gauge safety) the two oldest
+    # valid slots — 2 fixed cameras pin the monocular scale gauge even when
+    # the map is too young to have a tail
     first_valid = jnp.argmax(kf_mask)
     second_valid = jnp.argmax(kf_mask & (jnp.arange(W) != first_valid))
-    kf_fixed = (jnp.arange(W) == first_valid) | (jnp.arange(W) == second_valid)
+    kf_fixed = ((jnp.arange(W) == first_valid)
+                | (jnp.arange(W) == second_valid)
+                | ((jnp.arange(W) < n_tail) & kf_mask))
+    # landmark SELECTION excludes only the observer tail; the gauge-fixed
+    # in-window cameras still nominate landmarks (their points are
+    # optimized even though their poses are pinned)
+    free_mask = kf_mask & (jnp.arange(W) >= n_tail)
 
-    # --- select points observed by the window ---
+    # --- select points observed by the FREE window (the fixed tail only
+    # contributes observations of already-selected landmarks) ---
     win_pt_idx = ms.kf_pt_idx[ids_c]             # (W, N)
     win_obs = (win_pt_idx >= 0) & kf_mask[:, None]
+    win_obs_sel = (win_pt_idx >= 0) & free_mask[:, None]
     pid_safe = jnp.clip(win_pt_idx, 0, P - 1)
     observed = jnp.zeros((P,), bool)
-    observed = observed.at[pid_safe.reshape(-1)].max(win_obs.reshape(-1))
+    observed = observed.at[pid_safe.reshape(-1)].max(win_obs_sel.reshape(-1))
     observed = observed & ms.pt_valid
     if rank_by_obs:
         rank = jnp.clip(ms.pt_n_obs, 0, 32767) * 32768 \
@@ -552,9 +579,10 @@ def ba_select(ms: MapState, sigma2_levels, window: int = 8,
     Mf = ms.kf_ln_valid.shape[1]
     win_ln_idx = ms.kf_ln_idx[ids_c]              # (W, Mf)
     win_ln_obs = (win_ln_idx >= 0) & kf_mask[:, None]
+    win_ln_sel = (win_ln_idx >= 0) & free_mask[:, None]
     lid_safe = jnp.clip(win_ln_idx, 0, Lc - 1)
     l_observed = jnp.zeros((Lc,), bool)
-    l_observed = l_observed.at[lid_safe.reshape(-1)].max(win_ln_obs.reshape(-1))
+    l_observed = l_observed.at[lid_safe.reshape(-1)].max(win_ln_sel.reshape(-1))
     l_observed = l_observed & ms.ln_valid
     l_scores = jnp.where(l_observed, jnp.arange(Lc, dtype=jnp.int32), -1)
     _, lsel = jax.lax.top_k(l_scores, l_ba)
