@@ -50,10 +50,15 @@ def render_sequence(n: int, fx: float = 500.0, amplitude: float = 3.0,
     tracking quality instead of a degenerate geometry."""
     from plslam_tpu.datasets import synthetic, textured
     os.makedirs(SEQ_DIR, exist_ok=True)
-    stamp = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}")
-    if os.path.exists(stamp):
+    # SCENE_SEED varies the plane texturing/layout — the multi-sequence
+    # protocol (scripts/multirun.py) renders several seeds because
+    # single-run ATE on one sequence has a measured ~2x chaos floor
+    seed = int(os.environ.get("SCENE_SEED", "5"))
+    stamp = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}_s{seed}")
+    legacy = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}")
+    if os.path.exists(stamp) or (seed == 5 and os.path.exists(legacy)):
         return
-    scene = textured.make_photo_scene(seed=5, fx=fx, fy=fx)
+    scene = textured.make_photo_scene(seed=seed, fx=fx, fy=fx)
     Ts = synthetic.trajectory(n, "orbit", amplitude=amplitude)
     if z_offset:
         for T in Ts:
@@ -146,7 +151,22 @@ def eval_traj(path: str, n: int):
     est_c = np.stack([by_idx[i] for i in idx])
     gt_c = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
     span = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
+    # relative segment error per meter of GT path — a local-drift metric
+    # with far less run-to-run chaos than ATE (ATE integrates where drift
+    # happens along the loop; segment errors do not)
+    mu_e, mu_g = est_c.mean(0), gt_c.mean(0)
+    E, G = est_c - mu_e, gt_c - mu_g
+    U, D, Vt = np.linalg.svd(G.T @ E)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    s = (D * np.diag(S)).sum() / max((E * E).sum(), 1e-12)
+    al = (s * ((U @ S @ Vt) @ E.T)).T
+    seg_err = np.linalg.norm(np.diff(al, axis=0) - np.diff(G, axis=0),
+                             axis=1)
+    path = np.linalg.norm(np.diff(G, axis=0), axis=1).sum()
     return {"ate": sim3_ate(est_c, gt_c), "span": span,
+            "drift_per_m": float(seg_err.sum() / max(path, 1e-9)),
             "n_poses": len(idx), "first_frame": idx[0],
             "last_frame": idx[-1]}, len(idx)
 
