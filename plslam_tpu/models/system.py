@@ -50,6 +50,18 @@ class SLAMConfig:
     scale_factor: float = 1.2
     th_fast_high: float = 20.0
     th_fast_low: float = 7.0
+    subpixel: bool = False          # quadratic sub-pixel keypoint refinement
+                                    # on the pre-NMS FAST score (descriptors
+                                    # keep integer sampling); YAML key
+                                    # ORBextractor.subpixel. Measured worse
+                                    # on the photo head-to-head, though
+                                    # within the single-run ATE noise floor
+                                    # (ops/extract.refine_subpixel) — keep off
+    level_map: int = 1              # pyramid level->base coordinate mapping
+                                    # (ops/extract.ExtractorConfig.level_map):
+                                    # 0 naive reference parity, 1 actual-ratio
+                                    # (default: kills the measured per-octave
+                                    # tilt bias), 2 exact half-pixel
     # map capacities (initial; grown on demand when grow_map=True)
     max_kf: int = 48
     max_pt: int = 12288
@@ -99,6 +111,21 @@ class SLAMConfig:
                                   # effective chi2 gate admits only
                                   # well-localized lines)
     use_loop_closing: bool = True
+    young_gba_until_kf: int = 0     # 0 = off. Run a synchronous full-map BA after
+                                    # each keyframe while n_kf <= this.
+                                    # The reference's local BA covers ALL
+                                    # covisible keyframes — on a young map
+                                    # that is the whole map, continuously
+                                    # re-harmonizing the noisy initial
+                                    # landmarks/scale as wider baselines
+                                    # arrive (src/Optimizer.cc:1645 window
+                                    # construction). Our fixed window slides
+                                    # past the early keyframes and freezes
+                                    # their scale error in — measured as the
+                                    # front-loaded error profile of the bad
+                                    # runs (scripts/run_profile.py; BASELINE
+                                    # round-3 caveat). Cheap: the map is
+                                    # small exactly when this runs.
     periodic_gba_every_kf: int = 0  # 0 = off. Launch an async background
                                     # global BA every N keyframes even
                                     # without a loop closure (see
@@ -172,6 +199,7 @@ class SLAMConfig:
             scale_factor=g("ORBextractor.scaleFactor", 1.2),
             th_fast_high=g("ORBextractor.iniThFAST", 20.0),
             th_fast_low=g("ORBextractor.minThFAST", 7.0),
+            subpixel=bool(int(g("ORBextractor.subpixel", 0))),
             # LINEextractor.* (read at src/Tracking.cc:157-170); static line
             # slots rounded up to a multiple of 64
             n_lf=-(-int(g("LINEextractor.nFeatures", 200)) // 64) * 64,
@@ -199,7 +227,8 @@ class System:
         self.ext_cfg = extract.ExtractorConfig(
             n_features=config.n_features, n_levels=config.n_levels,
             scale=config.scale_factor, th_fast_high=config.th_fast_high,
-            th_fast_low=config.th_fast_low)
+            th_fast_low=config.th_fast_low, subpixel=config.subpixel,
+            level_map=config.level_map)
         self.map_cfg = mstate.MapConfig(
             max_kf=config.max_kf, max_pt=config.max_pt, max_ln=config.max_ln,
             n_kp=config.n_features, n_lf=config.n_lf,
@@ -971,6 +1000,13 @@ class System:
                 self.velocity = jnp.eye(4)
                 self._abort_gba()
                 self._start_gba()
+        if (self._gba is None and self.cfg.young_gba_until_kf > 0
+                and 2 < k_new + 1 <= self.cfg.young_gba_until_kf):
+            # young-map whole-map BA (see SLAMConfig.young_gba_until_kf):
+            # synchronous — the map is a few thousand landmarks at most
+            # here, and the reference's local BA is effectively global at
+            # this age too (all covisible KFs, src/Optimizer.cc:1699)
+            self.run_global_ba()
         if (self._gba is None and self.cfg.periodic_gba_every_kf > 0
                 and (k_new + 1) % self.cfg.periodic_gba_every_kf == 0
                 and k_new + 1 > self.cfg.ba_window):

@@ -39,6 +39,25 @@ class ExtractorConfig(NamedTuple):
     th_fast_low: float = 7.0
     margin: int = 20          # reference EDGE_THRESHOLD=19 (+1 for rotation)
     cell: int = 32            # ~30px FAST cells in the reference
+    subpixel: bool = False    # quadratic peak refinement of keypoint
+                              # locations on the pre-NMS score map
+                              # (descriptors still sample the integer
+                              # location, like the reference); MEASURED
+                              # WORSE twice — see refine_subpixel
+    level_map: int = 1        # level->base coordinate mapping:
+                              # 0 = uv * scale**l (the reference's naive
+                              #     mapping, src/ORBextractor.cc:1099 —
+                              #     carries a measured per-octave TILT bias
+                              #     because rounded level dims make the
+                              #     actual ratio differ from scale**l),
+                              # 1 = uv * (dim0/dim_l) per axis (tilt
+                              #     removed; the constant half-pixel term
+                              #     is absorbed into landmark positions),
+                              # 2 = (uv + 0.5) * (dim0/dim_l) - 0.5 (the
+                              #     geometrically exact map of the
+                              #     half-pixel-center bilinear pyramid).
+                              # See scripts/gba_gt_probe.py for the
+                              # measured per-octave bias table.
 
 
 def level_budgets(cfg: ExtractorConfig):
@@ -62,15 +81,43 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
     for l, (im_l, n_l) in enumerate(zip(levels, budgets)):
         if n_l == 0:
             continue
-        score = fast.fast_dual_threshold(im_l, cfg.th_fast_high,
-                                         cfg.th_fast_low, cfg.margin)
+        raw = None
+        if cfg.subpixel:
+            score, raw = fast.fast_dual_threshold(
+                im_l, cfg.th_fast_high, cfg.th_fast_low, cfg.margin,
+                return_raw=True)
+        else:
+            score = fast.fast_dual_threshold(im_l, cfg.th_fast_high,
+                                             cfg.th_fast_low, cfg.margin)
         uv, resp, valid = select.select_grid_topk(score, n_l, cell=cfg.cell)
         ang = orb.ic_angle(im_l, uv)
         im_blur = pyramid.blur(im_l)
         bits = orb.steered_descriptor(im_blur, uv, ang)
+        if raw is not None:
+            # geometry gets the refined location; orientation + descriptor
+            # above sampled the integer location (reference parity)
+            uv = refine_subpixel(raw, uv)
 
-        s = cfg.scale ** l
-        uv_all.append(uv * s)
+        # Level->base coordinate mapping (cfg.level_map). The naive
+        # `uv * scale**l` (the reference's choice, src/ORBextractor.cc:
+        # 1099) ignores that rounded level dimensions make the actual
+        # resize ratio differ from scale**l — a per-octave TILT bias of
+        # +-0.2..0.5 px whose sign flips with the per-axis rounding
+        # direction, measured at GT poses on the photo head-to-head
+        # (octave 6 mean residual (-0.45,+0.13) px, octave 7
+        # (+0.45,-0.15); scripts/gba_gt_probe.py). Mode 1 scales by the
+        # actual per-axis ratio, killing the tilt; mode 2 additionally
+        # applies the half-pixel-center offset of the bilinear pyramid
+        # (geometrically exact; the constant is normally absorbed into
+        # landmark positions, so 1 vs 2 measured indistinguishable).
+        h_l, w_l = im_l.shape
+        h0, w0 = levels[0].shape
+        if cfg.level_map == 0:
+            uv0 = uv * (cfg.scale ** l)
+        else:
+            sxy = jnp.asarray([w0 / w_l, h0 / h_l], jnp.float32)
+            uv0 = uv * sxy if cfg.level_map == 1 else (uv + 0.5) * sxy - 0.5
+        uv_all.append(uv0)
         resp_all.append(resp)
         oct_all.append(jnp.full((n_l,), l, jnp.int32))
         ang_all.append(ang)
@@ -92,11 +139,16 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
 
 def refine_subpixel(score, uv):
     """Quadratic sub-pixel refinement on a score map. NOT used by the
-    pipeline: measured on the synthetic suite it WORSENS ATE (the FAST ring
-    score's peak is biased off the geometric corner on block textures), so
-    extraction keeps integer locations like the reference
-    (`src/ORBextractor.cc:765`). Kept for imagery where the score peak is
-    better behaved."""
+    pipeline (`ExtractorConfig.subpixel` defaults False): measured on the
+    synthetic suite it WORSENS ATE (the FAST ring score's peak is biased
+    off the geometric corner on block textures), and re-measured in round 3
+    on the 300-frame PHOTO-texture head-to-head sequence with healthy
+    triangulation conditioning it is 2.8x WORSE (keyframe ATE 0.075
+    subpixel=1 vs 0.027 off; scripts/ab_ours.py). The FAST ring score is
+    simply not a quadratic around the true corner, so extraction keeps
+    integer locations like the reference (`src/ORBextractor.cc:765`).
+    Sub-pixel accuracy, if pursued, must come from intensity-based match
+    refinement, not from this score map."""
     h, w = score.shape
     x = jnp.clip(uv[:, 0].astype(jnp.int32), 1, w - 2)
     y = jnp.clip(uv[:, 1].astype(jnp.int32), 1, h - 2)
