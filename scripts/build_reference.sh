@@ -52,6 +52,14 @@ echo "== applying headless patch"
 REF="$BUILD_DIR/ref"
 CMFLAGS=(-DCMAKE_BUILD_TYPE=Release "-DEIGEN3_INCLUDE_DIR=$EIGEN_TF")
 
+# The TF-wheel Eigen's AVX512-FP16 kernels don't compile under g++ 12 when
+# the host CPU advertises avx512fp16 (template specialization syntax error
+# in PacketMathFP16.h). The headless patch already disables it for the main
+# build; the Thirdparty projects hardcode their own `-march=native` in
+# *_FLAGS_RELEASE (applied AFTER user CXX flags), so neuter it there too.
+sed -i 's/-march=native/-march=native -mno-avx512fp16/g' \
+  "$REF/Thirdparty/g2o/CMakeLists.txt" "$REF/Thirdparty/DBoW2/CMakeLists.txt"
+
 echo "== Thirdparty/DBoW2"
 cmake -S "$REF/Thirdparty/DBoW2" -B "$REF/Thirdparty/DBoW2/build" \
   "${CMFLAGS[@]}" > "$BUILD_DIR/dbow2_cfg.log"
