@@ -52,12 +52,16 @@ echo "== applying headless patch"
 REF="$BUILD_DIR/ref"
 CMFLAGS=(-DCMAKE_BUILD_TYPE=Release "-DEIGEN3_INCLUDE_DIR=$EIGEN_TF")
 
-# The TF-wheel Eigen's AVX512-FP16 kernels don't compile under g++ 12 when
-# the host CPU advertises avx512fp16 (template specialization syntax error
-# in PacketMathFP16.h). The headless patch already disables it for the main
-# build; the Thirdparty projects hardcode their own `-march=native` in
-# *_FLAGS_RELEASE (applied AFTER user CXX flags), so neuter it there too.
-sed -i 's/-march=native/-march=native -mno-avx512fp16/g' \
+# AVX-512 must be OFF everywhere on hosts that advertise it:
+#  - the TF-wheel Eigen's AVX512-FP16 kernels don't compile under g++ 12
+#    (template specialization syntax error in PacketMathFP16.h);
+#  - with plain AVX-512 enabled the built mono_tum dies with heap
+#    corruption ("double free or corruption") in the line global BA —
+#    the reference's ORB-SLAM2-era Eigen usage is not 64-byte-alignment
+#    clean. Measured on a cooperlake host; an avx2-only host ran fine.
+# -mno-avx512f after -march=native disables the whole AVX-512 family.
+sed -i 's/-march=native/-march=native -mno-avx512f -mno-avx512fp16/g' \
+  "$REF/CMakeLists.txt" \
   "$REF/Thirdparty/g2o/CMakeLists.txt" "$REF/Thirdparty/DBoW2/CMakeLists.txt"
 
 echo "== Thirdparty/DBoW2"

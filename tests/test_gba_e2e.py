@@ -20,6 +20,13 @@ def test_global_ba_reduces_drift():
                      kf_ref_ratio=2.0,  # always-weak c2: fixed cadence
                      kf_min_interval=4,  # sparse fixed cadence lets the 2%
                      # focal error accumulate into measurable drift
+                     level_map=0,  # fixture pin: the naive uv*scale^l
+                     # mapping's per-octave tilt adds to the focal error,
+                     # producing drift well above the run-to-run noise
+                     # floor so the 0.6x GBA-improvement assert has power.
+                     # Under the default (ratio) mapping this fixture's
+                     # drift shrinks to ~0.025 and GBA's relative gain
+                     # (0.025 -> 0.0196 measured) falls inside the noise.
                      use_loop_closing=True)
     slam = System(cfg)
     for i, img in enumerate(frames):
