@@ -947,6 +947,12 @@ def project_and_bind(cam, ms: MapState, kf, cand_mask, radius: float = 3.0,
     view_cos = jnp.sum(po * ms.pt_normal, axis=-1) / jnp.maximum(dist, 1e-6)
     vis = (cand_mask & ms.pt_valid & (z > 0) & in_img & in_range
            & (view_cos > 0.5))
+    # skip points already observed by this keyframe — the reference's
+    # `pMP->IsInKeyFrame(pKF)` skip in Fuse (`src/ORBmatcher.cc:938`);
+    # without it a tracked point acquires a SECOND keypoint binding here
+    already = jnp.zeros((P,), bool).at[
+        jnp.clip(ms.kf_pt_idx[kf], 0, P - 1)].max(ms.kf_pt_idx[kf] >= 0)
+    vis = vis & ~already
 
     # radius scaled by the keypoint's octave sigma (radius*scale^oct)
     kp_scale = jnp.power(1.2, ms.kf_octave[kf].astype(jnp.float32))
@@ -959,6 +965,8 @@ def project_and_bind(cam, ms: MapState, kf, cand_mask, radius: float = 3.0,
     idx, best, second = hamming.masked_best2(D, mask)
     bind = (best <= max_hamming) & (
         best.astype(jnp.float32) < 0.9 * second.astype(jnp.float32))
+    # one keypoint per point (injectivity; hamming.dedup_by_target)
+    bind = hamming.dedup_by_target(idx, bind, best, P)
     row = jnp.where(bind, idx.astype(jnp.int32), ms.kf_pt_idx[kf])
     ms = ms._replace(kf_pt_idx=ms.kf_pt_idx.at[kf].set(row))
     pid = jnp.clip(row, 0, P - 1)

@@ -141,6 +141,10 @@ def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
 
     best_idx, best, second = hamming.masked_best2(D, mask)
     matched = best <= TH_HIGH
+    # injectivity over map points (reference SearchByProjection semantics:
+    # one keypoint per landmark per frame; see hamming.dedup_by_target)
+    matched = hamming.dedup_by_target(best_idx, matched, best,
+                                      ms.pt_xyz.shape[0])
     return best_idx, matched, visible
 
 
@@ -198,6 +202,8 @@ def _match_lines_against_map(cam, ms: MapState, lfeats, T,
     D = hamming.distance_matrix(lfeats.desc, ms.ln_desc)
     best_idx, best, _ = hamming.masked_best2(D, mask)
     matched = best <= max_dist
+    matched = hamming.dedup_by_target(best_idx, matched, best,
+                                      ms.ln_valid.shape[0])
     return best_idx, matched, visible
 
 
@@ -244,6 +250,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     g_idx, g_best, g_second = hamming.masked_best2(D, g_mask)
     g_ok = (g_best <= TH_LOW) & (
         g_best.astype(jnp.float32) < 0.7 * g_second.astype(jnp.float32))
+    g_ok = hamming.dedup_by_target(g_idx, g_ok, g_best, ms.pt_xyz.shape[0])
     res_a = pose_opt.pose_optimize(
         cam, T_pred,
         pose_opt.PoseObs(ms.pt_xyz[idx_w], feats.uv_un, sigma2_kp, m_w,
@@ -442,6 +449,7 @@ def relocalize(cam, ms: MapState, feats: PointFeatures, sigma2_levels, key,
     idx, best, second = hamming.masked_best2(D, mask)
     ok = (best <= TH_LOW) & (
         best.astype(jnp.float32) < 0.75 * second.astype(jnp.float32))
+    ok = hamming.dedup_by_target(idx, ok, best, ms.pt_xyz.shape[0])
 
     s2 = sigma2_levels[feats.octave]
     res = pnp_mod.ransac_pnp(key, ms.pt_xyz[idx], feats.uv_un, ok, cam, s2)

@@ -63,6 +63,31 @@ def mutual_best(dist, mask):
     return best_idx, best, second, mutual
 
 
+def dedup_by_target(idx, matched, best, n_targets: int):
+    """Make a per-query match set INJECTIVE over targets: when several
+    queries matched the same target, keep only the one with the smallest
+    distance (ties -> lowest query index), drop the rest.
+
+    The reference's projection searches iterate LANDMARKS and assign each
+    its single best keypoint (`ORBmatcher::SearchByProjection`,
+    `src/ORBmatcher.cc:56-144`), so a MapPoint never acquires two
+    observations in one frame. A per-query argmin (the matmul formulation)
+    is many-to-one: measured on the photo head-to-head, 47% of (keyframe,
+    point) pairs carried >= 2 keypoint bindings — duplicate residuals
+    double-weight those landmarks in pose opt / BA with conflicting pixels
+    (usually the same corner at two pyramid levels, one of them coarse).
+
+    idx: (N,) target index per query; matched: (N,) bool; best: (N,)
+    distances. Returns the deduplicated `matched` mask."""
+    n = idx.shape[0]
+    key = best.astype(jnp.int32) * n + jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(2 ** 30)
+    tgt_best = jnp.full((n_targets,), big, jnp.int32).at[
+        jnp.where(matched, idx, n_targets)].min(
+        jnp.where(matched, key, big), mode="drop")
+    return matched & (key == tgt_best[jnp.clip(idx, 0, n_targets - 1)])
+
+
 def rotation_histogram_mask(dangle, matched, n_bins: int = 30, n_keep: int = 3,
                             keep_frac: float = 0.1):
     """Rotation-consistency filter, cf `ORBmatcher::ComputeThreeMaxima`

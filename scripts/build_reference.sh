@@ -60,7 +60,14 @@ CMFLAGS=(-DCMAKE_BUILD_TYPE=Release "-DEIGEN3_INCLUDE_DIR=$EIGEN_TF")
 #    the reference's ORB-SLAM2-era Eigen usage is not 64-byte-alignment
 #    clean. Measured on a cooperlake host; an avx2-only host ran fine.
 # -mno-avx512f after -march=native disables the whole AVX-512 family.
-sed -i 's/-march=native/-march=native -mno-avx512f -mno-avx512fp16/g' \
+# EIGEN_MAX_ALIGN_BYTES=16 additionally caps Eigen's static alignment at
+# what glibc malloc guarantees: a second host (full AVX-512 feature set)
+# still hit "double free or corruption" in the line global BA even with
+# AVX-512 compiled out — the ORB-SLAM2-era code lacks aligned-new
+# annotations on several fixed-size-Eigen-member classes, so ANY >16-byte
+# alignment requirement is unsound. Must be identical across g2o/DBoW2/
+# main lib (Eigen types cross those ABI boundaries).
+sed -i 's/-march=native/-march=native -mno-avx512f -mno-avx512fp16 -DEIGEN_MAX_ALIGN_BYTES=16/g' \
   "$REF/CMakeLists.txt" \
   "$REF/Thirdparty/g2o/CMakeLists.txt" "$REF/Thirdparty/DBoW2/CMakeLists.txt"
 
