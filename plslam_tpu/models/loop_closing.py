@@ -373,6 +373,9 @@ class LoopClosing:
         for back in range(4):
             ms = mapping_mod.loop_fuse(
                 self.cam, ms, jnp.clip(k - back, 0, K - 1), cand, radius=4.0)
+        # replace-rewiring can leave a keyframe observing the kept landmark
+        # through two keypoint rows; erase the worse-pixel duplicates
+        ms = mapping_mod.dedup_kf_point_rows(self.cam, ms)
         return ms
 
     # ------------------------------------------------------------------

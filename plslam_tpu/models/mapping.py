@@ -1051,6 +1051,43 @@ def loop_fuse(cam, ms: MapState, kf, cand_mask, radius: float = 4.0,
                        pt_valid=valid1[:P])
 
 
+def dedup_kf_point_rows(cam, ms: MapState) -> MapState:
+    """Remove duplicate same-point bindings within each keyframe.
+
+    `fuse_duplicate_points` / `loop_fuse` rewire every observation of a
+    merged landmark map-wide (`MapPoint::Replace`, `src/MapPoint.cc:177`);
+    a keyframe that observed BOTH the duplicate and the kept landmark ends
+    up with two keypoint rows bound to the same point id. The reference
+    erases the match in that case (`MapPoint::Replace` calls
+    `KeyFrame::EraseMapPointMatch` when the keyframe already observes the
+    replacement, `src/MapPoint.cc:196-203`); keeping both feeds BA a
+    same-keyframe residual at the WRONG pixel (the duplicate's keypoint
+    vs the kept landmark's 3D position). Keep, per (keyframe, point), the
+    row whose pixel best reprojects the kept landmark; free the rest.
+    """
+    K, N = ms.kf_pt_idx.shape
+    P = ms.pt_xyz.shape[0]
+
+    def one(rows, T, uv):
+        pid = jnp.clip(rows, 0, P - 1)
+        Xc = se3.transform(T, ms.pt_xyz[pid])
+        z = jnp.maximum(Xc[:, 2], 1e-6)
+        q = jnp.stack([cam.fx * Xc[:, 0] / z + cam.cx,
+                       cam.fy * Xc[:, 1] / z + cam.cy], axis=-1)
+        err = jnp.sum((q - uv) ** 2, axis=-1)
+        tgt = jnp.where(rows >= 0, pid, P)        # unbound rows -> dump id
+        order = jnp.lexsort((err, tgt))           # group by point, best first
+        tgt_s = tgt[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), tgt_s[1:] != tgt_s[:-1]])
+        keep_s = first | (tgt_s == P)
+        keep = jnp.zeros((N,), bool).at[order].set(keep_s)
+        return jnp.where(keep, rows, -1)
+
+    return ms._replace(
+        kf_pt_idx=jax.vmap(one)(ms.kf_pt_idx, ms.kf_T, ms.kf_uv))
+
+
 def search_in_neighbors(cam, ms: MapState, k_new) -> MapState:
     """`SearchInNeighbors` (`src/LocalMapping.cc:1505`) both directions:
     bind the whole map's visible points into the NEW keyframe's free
@@ -1207,6 +1244,12 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                                       scale_factors, max_depth)
     ms = fuse_duplicate_points(ms)
     ms = search_in_neighbors(cam, ms, k_new)
+    # Replace-rewiring above can leave a keyframe with two rows bound to
+    # the same landmark (one at the wrong pixel); erase the worse row
+    # before BA consumes the observations, then refresh counts.
+    ms = dedup_kf_point_rows(cam, ms)
+    inc = mstate.observers_of_points(ms)
+    ms = ms._replace(pt_n_obs=jnp.sum(inc, axis=0).astype(jnp.int32))
     # 4+8 iterations: the reference schedules 5+10 but aborts BA whenever a
     # new keyframe arrives (mbAbortBA, src/LocalMapping.cc:140) — effective
     # iteration counts under load are lower than nominal
