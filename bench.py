@@ -164,12 +164,17 @@ def main():
     lat_med = float(np.median(t_lat))
 
     # --- 3) batched multi-stream (BASELINE config 5: 16 streams/chip) ---
+    # a failure here must be VISIBLE in the bench JSON (round-3 regression:
+    # a silent except-pass returned nulls and nobody knew why)
     fps16 = fps16_vmap = None
+    multistream_error = None
     try:
         fps16, fps16_vmap = _bench_multistream(
             cfg, slam.ms, frames_u8, n_streams=16, n_steps=10)
     except Exception:
-        pass
+        import traceback
+        multistream_error = traceback.format_exc(limit=6)
+        print(multistream_error, file=sys.stderr)
 
     print(json.dumps({
         "metric": "tum_mono_tracking_fps_per_chip",
@@ -187,6 +192,7 @@ def main():
             "batched16_total_fps": None if fps16 is None else round(fps16, 1),
             "batched16_vmap_fps": None if fps16_vmap is None
             else round(fps16_vmap, 1),
+            "batched16_error": multistream_error,
             "upload_included_fps": round(up_fps, 2),
             "median_track_latency_fps": round(1.0 / lat_med, 2),
             "device": str(jax.devices()[0]),

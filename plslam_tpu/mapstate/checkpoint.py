@@ -22,6 +22,7 @@ def load_map(path: str) -> MapState:
         "pt_desc_acc": lambda: np.asarray(data["pt_desc"], np.uint8),
         "pt_desc_cnt": lambda: (data["pt_n_obs"] > 0).astype(np.int32),
         "ln_cond": lambda: np.ones(data["ln_valid"].shape[0], np.float32),
+        "kf_ur": lambda: np.full(data["kf_pt_idx"].shape, -1.0, np.float32),
     }
     def get(f):
         if f in data.files:

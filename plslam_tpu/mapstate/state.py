@@ -85,6 +85,10 @@ class MapState(NamedTuple):
     kf_desc: jnp.ndarray      # (K, N, 256) u8
     kf_kp_valid: jnp.ndarray  # (K, N) bool
     kf_pt_idx: jnp.ndarray    # (K, N) i32 — map point per keypoint (-1)
+    # right-image column per keypoint (stereo SAD match or RGBD-synthesized
+    # virtual disparity, `Frame::ComputeStereoMatches/FromRGBD`,
+    # `src/Frame.cc:977,1154`); <= 0 = monocular observation
+    kf_ur: jnp.ndarray        # (K, N) f32
     # --- keyframe line features ---
     kf_ln_uv: jnp.ndarray     # (K, M, 2, 2) endpoint pixels
     kf_ln_l2d: jnp.ndarray    # (K, M, 3) infinite-line equation
@@ -118,6 +122,7 @@ def allocate(cfg: MapConfig) -> MapState:
         kf_angle=f((K, N)), kf_desc=f((K, N, 256), jnp.uint8),
         kf_kp_valid=f((K, N), bool),
         kf_pt_idx=jnp.full((K, N), -1, jnp.int32),
+        kf_ur=jnp.full((K, N), -1.0, jnp.float32),
         kf_ln_uv=f((K, M, 2, 2)),
         kf_ln_l2d=jnp.broadcast_to(jnp.asarray([1.0, 0.0, -1e9]), (K, M, 3)),
         kf_ln_desc=f((K, M, 256), jnp.uint8),

@@ -37,11 +37,17 @@ CHI2_2D = 5.991
 
 def insert_keyframe(cam, ms: MapState, feats: PointFeatures, T, matched_pt,
                     frame_id, scale_factors, lfeats=None,
-                    matched_ln=None, desc_majority: bool = False) -> MapState:
+                    matched_ln=None, desc_majority: bool = False,
+                    kp_depth=None, bf: float = 0.0) -> MapState:
     """Promote the current frame to a keyframe (`CreateNewKeyFrame`,
     `src/Tracking.cc:1666` + `ProcessNewKeyFrame`, `src/LocalMapping.cc:157`):
     write features (points + line segments), bind tracked landmarks,
-    refresh their statistics."""
+    refresh their statistics.
+
+    With a depth sensor (`kp_depth` + `bf` = fx*baseline), each keypoint's
+    right-image column u_r = u - bf/depth is stored so BA can use 3-dof
+    stereo edges (`Frame::ComputeStereoMatches/FromRGBD`,
+    `src/Frame.cc:977,1154`)."""
     k = ms.n_kf
     P = ms.pt_xyz.shape[0]
 
@@ -58,6 +64,11 @@ def insert_keyframe(cam, ms: MapState, feats: PointFeatures, T, matched_pt,
         kf_bow=ms.kf_bow.at[k].set(bow.bow_vector(feats.desc, feats.valid)),
         n_kf=ms.n_kf + 1,
     )
+    if kp_depth is not None and bf > 0:
+        ur = jnp.where(feats.valid & (kp_depth > 0),
+                       feats.uv_un[:, 0] - bf / jnp.maximum(kp_depth, 1e-6),
+                       -1.0)
+        ms = ms._replace(kf_ur=ms.kf_ur.at[k].set(ur))
     if lfeats is not None:
         Lc = ms.ln_valid.shape[0]
         ml = matched_ln if matched_ln is not None else jnp.full(
@@ -469,7 +480,8 @@ class BASelection(NamedTuple):
 
 def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
                  p_ba: int = 4096, l_ba: int = 512, iters_a: int = 5,
-                 iters_b: int = 10, rank_by_obs: bool = False) -> MapState:
+                 iters_b: int = 10, rank_by_obs: bool = False,
+                 use_stereo: bool = False, bf: float = 0.0) -> MapState:
     """Local BA over the last `window` keyframes
     (`LocalBundleAdjustmentWithLine`, `src/Optimizer.cc:1645`): the two
     oldest window slots are fixed (pinning the monocular scale gauge — one
@@ -477,7 +489,8 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
     points and lines observed by the window are selected into fixed-size BA
     slots, outlier observations erased afterward."""
     selection = ba_select(ms, sigma2_levels, window=window, p_ba=p_ba,
-                          l_ba=l_ba, rank_by_obs=rank_by_obs)
+                          l_ba=l_ba, rank_by_obs=rank_by_obs,
+                          use_stereo=use_stereo, bf=bf)
     res = local_ba.bundle_adjust(selection.prob, cam, iters_a=iters_a,
                                  iters_b=iters_b)
     return ba_writeback(ms, selection, res)
@@ -486,7 +499,8 @@ def run_local_ba(cam, ms: MapState, sigma2_levels, window: int = 8,
 def ba_select(ms: MapState, sigma2_levels, window: int = 8,
               p_ba: int = 4096, l_ba: int = 512,
               rank_by_obs: bool = False,
-              n_fixed_tail: int = 0) -> BASelection:
+              n_fixed_tail: int = 0,
+              use_stereo: bool = False, bf: float = 0.0) -> BASelection:
     """Select the last `window` keyframes + their observed landmarks into a
     fixed-shape :class:`BAProblem` (the window-selection half of
     `LocalBundleAdjustmentWithLine`).
@@ -573,6 +587,14 @@ def ba_select(ms: MapState, sigma2_levels, window: int = 8,
         jnp.where(h, v, o[s])))(obs_s2, slot_safe, s2_rows, has)
     obs_mask = jnp.zeros((W, p_ba), bool)
     obs_mask = jax.vmap(lambda o, s, h: o.at[s].max(h))(obs_mask, slot_safe, has)
+    # stereo: right-image column per observation (3-dof edges in BA,
+    # `EdgeStereoSE3ProjectXYZ`); mono windows keep obs_ur=None so the
+    # 2-component program is unchanged
+    obs_ur = None
+    if use_stereo:
+        obs_ur = jnp.full((W, p_ba), -1.0)
+        obs_ur = jax.vmap(lambda o, s, u, h: o.at[s].set(
+            jnp.where(h, u, o[s])))(obs_ur, slot_safe, ms.kf_ur[ids_c], has)
 
     # --- select lines observed by the window (same scheme as points) ---
     Lc = ms.ln_valid.shape[0]
@@ -620,6 +642,8 @@ def ba_select(ms: MapState, sigma2_levels, window: int = 8,
         # and must not outvote the points in the window (round-2 failure
         # mode: 2-view lines created right after init corrupted local BA)
         ln_info=0.5 * ms.ln_cond[lsel],
+        obs_ur=obs_ur,
+        bf=bf,
     )
     return BASelection(prob, ids_c, kf_mask, sel, sel_ok, lsel, lsel_ok,
                        slot_safe, has, l_slot_safe, l_has,
@@ -1195,7 +1219,7 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      matched_ln, frame_id, kp_depth, sigma2_levels,
                      scale_factors, window: int, p_ba: int, l_ba: int,
                      max_depth: float, do_kf_cull, use_depth,
-                     desc_majority: bool = False) -> MapState:
+                     desc_majority: bool = False, bf: float = 0.0) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -1209,7 +1233,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     k_new = ms.n_kf
     ms = insert_keyframe(cam, ms, feats, T, matched_pt, frame_id,
                          scale_factors, lfeats=lfeats, matched_ln=matched_ln,
-                         desc_majority=desc_majority)
+                         desc_majority=desc_majority,
+                         kp_depth=kp_depth if use_depth else None, bf=bf)
     # Triangulation pairs: deepest baseline first (its better-conditioned
     # points claim the keypoint slots; shallower pairs fill what remains),
     # each pair gated on baseline/medianDepth >= 0.01 inside
@@ -1254,7 +1279,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     # new keyframe arrives (mbAbortBA, src/LocalMapping.cc:140) — effective
     # iteration counts under load are lower than nominal
     ms = run_local_ba(cam, ms, sigma2_levels, window=window, p_ba=p_ba,
-                      l_ba=l_ba, iters_a=4, iters_b=8)
+                      l_ba=l_ba, iters_a=4, iters_b=8,
+                      use_stereo=bool(use_depth) and bf > 0, bf=bf)
     ms = cull_points(ms, k_new)
     ms = jax.lax.cond(do_kf_cull, lambda m: cull_keyframes(m, k_new),
                       lambda m: m, ms)

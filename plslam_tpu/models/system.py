@@ -244,6 +244,9 @@ class System:
 
         jit = jax.jit if use_jit else (lambda f, **kw: f)
         cam = self.cam
+        # fx * baseline — the reference's mbf (`src/Tracking.cc:105-170`);
+        # activates 3-dof stereo edges in pose opt + BA for depth sensors
+        self._bf = float(config.fx) * float(config.baseline)
         self._extract = jit(self._extract_impl)
         track_fn = partial(
             tracking.track_local_map, cam,
@@ -288,7 +291,8 @@ class System:
         self._match_frames = jit(tracking.match_frames)
         self._init_two_view = jit(partial(twoview.initialize_two_view, K=jnp.asarray(np.asarray(cam.K))))
         self._insert_kf = jit(partial(
-            mapping.insert_keyframe, cam, scale_factors=self.scale_factors))
+            mapping.insert_keyframe, cam, scale_factors=self.scale_factors,
+            bf=self._bf))
         self._create_points = jit(partial(
             mapping.create_new_points, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors))
@@ -310,7 +314,7 @@ class System:
                         scale_factors=self.scale_factors,
                         window=config.ba_window, p_ba=config.ba_points,
                         l_ba=config.ba_lines, max_depth=config.th_depth,
-                        use_depth=ud,
+                        use_depth=ud, bf=self._bf,
                         desc_majority=config.desc_majority),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
@@ -318,7 +322,7 @@ class System:
                         scale_factors=self.scale_factors,
                         window=config.ba_window, p_ba=config.ba_points,
                         l_ba=config.ba_lines, max_depth=config.th_depth,
-                        use_depth=ud,
+                        use_depth=ud, bf=self._bf,
                         desc_majority=config.desc_majority)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
@@ -327,6 +331,10 @@ class System:
             min_inliers=config.reloc_min_inliers))
         from ..ops import stereo as stereo_ops
         self._depth_at = jit(stereo_ops.depth_at)
+        bf_ = self._bf
+        self._ur_from_depth = jit(lambda feats, d: jnp.where(
+            feats.valid & (d > 0),
+            feats.uv_un[:, 0] - bf_ / jnp.maximum(d, 1e-6), -1.0))
         self._stereo_match = jit(partial(
             stereo_ops.stereo_match, fx=float(config.fx),
             baseline=config.baseline, scale_factors=self.scale_factors))
@@ -394,6 +402,7 @@ class System:
         self._init_feats = None
         self._init_lfeats = None
         self._kp_depth = None
+        self._kp_ur = None
         self._pending = []
         self._chunk_pending = []
         self._init_frame_id = -1
@@ -573,6 +582,7 @@ class System:
                             / self.cfg.depth_map_factor)
         feats, lfeats = self._extract(img)
         self._kp_depth = self._depth_at(depth, feats.uv)
+        self._kp_ur = self._ur_from_depth(feats, self._kp_depth)
         if self.state == NOT_INITIALIZED:
             T = self._initialize_with_depth(feats, lfeats, timestamp)
         else:
@@ -594,6 +604,7 @@ class System:
                                       im_l.astype(jnp.float32),
                                       im_r.astype(jnp.float32))
         self._kp_depth = jnp.where(ok, d, -1.0)
+        self._kp_ur = self._ur_from_depth(feats, self._kp_depth)
         if self.state == NOT_INITIALIZED:
             T = self._initialize_with_depth(feats, lfeats, timestamp)
         else:
@@ -609,6 +620,21 @@ class System:
             self.cfg.sensor = sensor
             if self.loop_closer is not None:
                 self.loop_closer.fix_scale = True
+            # rebuild the whole-map BA programs with 3-dof stereo edges
+            from functools import partial as _partial
+            from ..models import mapping as _mapping
+            self._global_ba = jax.jit(_partial(
+                _mapping.run_local_ba, self.cam, sigma2_levels=self.sigma2,
+                window=min(self.cfg.max_kf, 128), p_ba=self._gba_points(),
+                l_ba=self._gba_lines(), rank_by_obs=True,
+                use_stereo=True, bf=self._bf))
+            self._gba_select = jax.jit(_partial(
+                _mapping.ba_select, sigma2_levels=self.sigma2,
+                window=min(self.cfg.max_kf, 128), p_ba=self._gba_points(),
+                l_ba=self._gba_lines(), rank_by_obs=True,
+                use_stereo=True, bf=self._bf))
+            if self.loop_closer is not None:
+                self.loop_closer._local_ba = self._global_ba
 
     def _initialize_with_depth(self, feats, lfeats, timestamp):
         """`Tracking::StereoInitialization`: one keyframe at the origin,
@@ -619,7 +645,8 @@ class System:
         ms = self._insert_kf(self.ms, feats, jnp.eye(4),
                              jnp.full((N,), -1, jnp.int32),
                              jnp.int32(self.frame_id),
-                             lfeats=lfeats, matched_ln=None)
+                             lfeats=lfeats, matched_ln=None,
+                             kp_depth=self._kp_depth)
         ms = self._create_depth_points(ms, jnp.int32(0), self._kp_depth)
         self.ms = ms
         self.n_kf_host = 1
@@ -749,10 +776,13 @@ class System:
         if self.state == LOST:
             return self._relocalize_frame(feats, timestamp)
 
+        stereo_kw = {} if self._kp_ur is None else dict(
+            kp_ur=self._kp_ur, bf=self._bf)
         res, self.ms = self._track_update(self.ms, feats, self.T_last,
                                           lfeats=lfeats,
                                           velocity=self.velocity,
-                                          anchor_kf=self._anchor_arg())
+                                          anchor_kf=self._anchor_arg(),
+                                          **stereo_kw)
         # one background-GBA round per frame while one is in flight (the
         # dispatch is asynchronous; device work overlaps the readbacks)
         self._step_gba()

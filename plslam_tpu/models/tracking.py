@@ -212,7 +212,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
                     n_levels: int = 8, scale: float = 1.2,
                     line_info: float = 1.0, velocity=None,
                     vel_gamma: float = 0.8, update_stats: bool = False,
-                    anchor_kf=None):
+                    anchor_kf=None, kp_ur=None, bf: float = 0.0):
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
@@ -251,15 +251,19 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     g_ok = (g_best <= TH_LOW) & (
         g_best.astype(jnp.float32) < 0.7 * g_second.astype(jnp.float32))
     g_ok = hamming.dedup_by_target(g_idx, g_ok, g_best, ms.pt_xyz.shape[0])
+    # depth sensors: 3-dof stereo point edges (u_l, v_l, u_r) anchor the
+    # metric scale in every pose optimization, like the reference's
+    # EdgeStereoSE3ProjectXYZOnlyPose (`src/Optimizer.cc:718-760`)
+    stereo_kw = dict(pt_ur=kp_ur, bf=bf) if kp_ur is not None else {}
     res_a = pose_opt.pose_optimize(
         cam, T_pred,
         pose_opt.PoseObs(ms.pt_xyz[idx_w], feats.uv_un, sigma2_kp, m_w,
-                         *pose_opt.PoseObs.empty_lines(1)),
+                         *pose_opt.PoseObs.empty_lines(1), **stereo_kw),
         rounds=2, iters_per_round=5)
     res_b = pose_opt.pose_optimize(
         cam, T_pred,
         pose_opt.PoseObs(ms.pt_xyz[g_idx], feats.uv_un, sigma2_kp, g_ok,
-                         *pose_opt.PoseObs.empty_lines(1)),
+                         *pose_opt.PoseObs.empty_lines(1), **stereo_kw),
         rounds=2, iters_per_round=5)
     take_a = res_a.n_inliers >= jnp.maximum(res_b.n_inliers, 10)
     take_b = ~take_a & (res_b.n_inliers >= 10)
@@ -285,14 +289,15 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         ln_info_e = line_info * jnp.concatenate(
             [ms.ln_cond[lidx], ms.ln_cond[lidx]])
         obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
-                                ln_xyz_e, ln_l2d_e, ln_mask_e, ln_info_e)
+                                ln_xyz_e, ln_l2d_e, ln_mask_e, ln_info_e,
+                                **stereo_kw)
     else:
         M = 1
         lidx = jnp.zeros((M,), jnp.int32)
         lm = jnp.zeros((M,), bool)
         ln_visible = jnp.zeros(ms.ln_valid.shape, bool)
         obs2 = pose_opt.PoseObs(ms.pt_xyz[idx2], feats.uv_un, sigma2_kp, m2,
-                                *pose_opt.PoseObs.empty_lines(1))
+                                *pose_opt.PoseObs.empty_lines(1), **stereo_kw)
     # reference parity: PoseOptimization runs 4 rounds x 10 LM iterations
     # (`src/Optimizer.cc:851-863`); the round-2 3x7 saved compute but
     # under-converges exactly when landmarks are good enough to deserve it

@@ -80,7 +80,10 @@ def dedup_by_target(idx, matched, best, n_targets: int):
     idx: (N,) target index per query; matched: (N,) bool; best: (N,)
     distances. Returns the deduplicated `matched` mask."""
     n = idx.shape[0]
-    key = best.astype(jnp.int32) * n + jnp.arange(n, dtype=jnp.int32)
+    # mask BEFORE the multiply: unmatched lanes carry best=INVALID (2^20),
+    # whose int32 product with n would wrap for n > 2047 (ADVICE r3)
+    key = jnp.where(matched, best, 0).astype(jnp.int32) * n \
+        + jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(2 ** 30)
     tgt_best = jnp.full((n_targets,), big, jnp.int32).at[
         jnp.where(matched, idx, n_targets)].min(

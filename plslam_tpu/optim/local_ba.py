@@ -32,6 +32,7 @@ from ..geometry.triangulation import inv3x3
 from . import residuals
 
 CHI2_POINT = 5.991
+CHI2_STEREO = 7.815  # 3-dof stereo point edges (src/Optimizer.cc:1734)
 CHI2_LINE = 3.84  # per endpoint residual
 # max landmark move per LM iteration, in map units (mono maps are
 # median-depth-normalized to ~1 by the initializer)
@@ -61,6 +62,11 @@ class BAProblem(NamedTuple):
     # scaled by each line's triangulation conditioning (MapState.ln_cond) so
     # short-baseline triangulations cannot corrupt the window
     ln_info: float = 0.5
+    # stereo: per-observation right-image column; <= 0 marks a monocular
+    # observation. None keeps the pure-mono 2-component program
+    # (`EdgeStereoSE3ProjectXYZ`, types_six_dof_expmap.h:144)
+    obs_ur: jnp.ndarray = None   # (K, P) or None
+    bf: float = 0.0              # fx * baseline (the reference's mbf)
 
     @staticmethod
     def empty_lines(K: int, L: int = 1):
@@ -85,14 +91,23 @@ class BAResult(NamedTuple):
 def _point_terms(prob: BAProblem, kf_T, pt_xyz, obs_w, cam):
     """Residuals/Jacobians for every (camera, point) cell.
 
-    Returns r (K,P,2), Jc (K,P,2,6), Jp (K,P,2,3), chi2 (K,P), depth (K,P).
+    Returns r (K,P,C), Jc (K,P,C,6), Jp (K,P,C,3), chi2 (K,P), depth (K,P),
+    gate (K,P) — C = 2 mono-only, 3 when the window carries stereo
+    observations (the per-edge chi2 gate is then 7.815 for stereo cells,
+    5.991 for mono, `src/Optimizer.cc:1729-1735`).
     """
     K, P = prob.obs_mask.shape
     Xw = jnp.broadcast_to(pt_xyz[None], (K, P, 3))
     T = jnp.broadcast_to(kf_T[:, None], (K, P, 4, 4))
-    r, Jc, Jp, z = residuals.point_residual(cam, T, Xw, prob.obs_uv)
+    if prob.obs_ur is None:
+        r, Jc, Jp, z = residuals.point_residual(cam, T, Xw, prob.obs_uv)
+        gate = jnp.full((K, P), CHI2_POINT, jnp.float32)
+    else:
+        r, Jc, Jp, z = residuals.point_residual_stereo(
+            cam, prob.bf, T, Xw, prob.obs_uv, prob.obs_ur)
+        gate = jnp.where(prob.obs_ur > 0, CHI2_STEREO, CHI2_POINT)
     chi2 = jnp.sum(r * r, axis=-1) / prob.obs_sigma2
-    return r, Jc, Jp, chi2, z
+    return r, Jc, Jp, chi2, z, gate
 
 
 def _ln_w(prob: BAProblem):
@@ -133,9 +148,9 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust,
     K, P = prob.obs_mask.shape
     L = prob.ln_mask.shape[0]
 
-    r, Jc, Jp, chi2, z = _point_terms(prob, kf_T, pt_xyz, None, cam)
+    r, Jc, Jp, chi2, z, gate = _point_terms(prob, kf_T, pt_xyz, None, cam)
     w = 1.0 / prob.obs_sigma2
-    rw = jnp.where(robust, residuals.huber_weight(chi2, CHI2_POINT), 1.0)
+    rw = jnp.where(robust, residuals.huber_weight(chi2, gate), 1.0)
     m = (prob.obs_mask & obs_in & (z > 0)).astype(jnp.float32) * w * rw  # (K,P)
 
     # Camera blocks
@@ -224,9 +239,9 @@ def _solve_lm_step(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, lam, robust,
 
 def _total_cost(prob, cam, kf_T, pt_xyz, ln_xyz, obs_in, ln_in, robust,
                 axis=None):
-    _, _, _, chi2, z = _point_terms(prob, kf_T, pt_xyz, None, cam)
-    rho = jnp.where(jnp.asarray(robust) & (chi2 > CHI2_POINT),
-                    2.0 * jnp.sqrt(CHI2_POINT * jnp.maximum(chi2, 0.0)) - CHI2_POINT,
+    _, _, _, chi2, z, gate = _point_terms(prob, kf_T, pt_xyz, None, cam)
+    rho = jnp.where(jnp.asarray(robust) & (chi2 > gate),
+                    2.0 * jnp.sqrt(gate * jnp.maximum(chi2, 0.0)) - gate,
                     chi2)
     c = jnp.sum(jnp.where(prob.obs_mask & obs_in & (z > 0), rho, 0.0))
     _, _, _, chi2l, zl = _line_terms(prob, kf_T, ln_xyz, cam)
@@ -292,8 +307,8 @@ def ba_rounds(prob: BAProblem, cam, st: LMState, n_iters: int,
 def ba_demote(prob: BAProblem, cam, st: LMState, axis=None) -> LMState:
     """Chi2 outlier demotion between the two LM phases
     (`src/Optimizer.cc:1957-2005`); resets lambda and the reference cost."""
-    _, _, _, chi2, z = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
-    obs_in = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
+    _, _, _, chi2, z, gate = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
+    obs_in = prob.obs_mask & (chi2 <= gate) & (z > 0)
     _, _, _, chi2l, zl = _line_terms(prob, st.kf_T, st.ln_xyz, cam)
     ln_ep_ok = (chi2l <= CHI2_LINE) & (zl > 0)
     ln_in = prob.ln_obs_mask & ln_ep_ok[..., 0] & ln_ep_ok[..., 1]
@@ -305,8 +320,8 @@ def ba_demote(prob: BAProblem, cam, st: LMState, axis=None) -> LMState:
 
 def ba_finalize(prob: BAProblem, cam, st: LMState, axis=None) -> BAResult:
     """Final chi2 verdicts (observations to erase from the map)."""
-    _, _, _, chi2, z = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
-    obs_inlier = prob.obs_mask & (chi2 <= CHI2_POINT) & (z > 0)
+    _, _, _, chi2, z, gate = _point_terms(prob, st.kf_T, st.pt_xyz, None, cam)
+    obs_inlier = prob.obs_mask & (chi2 <= gate) & (z > 0)
     _, _, _, chi2l, zl = _line_terms(prob, st.kf_T, st.ln_xyz, cam)
     lep = (chi2l <= CHI2_LINE) & (zl > 0)
     ln_obs_inlier = prob.ln_obs_mask & lep[..., 0] & lep[..., 1]

@@ -22,6 +22,7 @@ from ..geometry import se3
 from . import residuals
 
 CHI2_POINT = 5.991
+CHI2_STEREO = 7.815   # 3-dof stereo edges (src/Optimizer.cc:678)
 CHI2_LINE = 3.84
 
 
@@ -38,6 +39,11 @@ class PoseObs(NamedTuple):
     ln_l2d: jnp.ndarray    # (L, 3) observed 2D line (unit-normalized normal)
     ln_mask: jnp.ndarray   # (L,) bool
     ln_info: jnp.ndarray   # (L,) information weight (reference uses 1.0)
+    # stereo: per-keypoint right-image column (u_r <= 0 -> monocular edge);
+    # None keeps the pure-mono 2-component program (`EdgeSE3ProjectXYZ
+    # OnlyPose` vs the stereo variant, types_six_dof_expmap.h:144)
+    pt_ur: jnp.ndarray = None   # (P,) or None
+    bf: float = 0.0             # fx * baseline (the reference's mbf)
 
     @staticmethod
     def empty_lines(n: int = 1):
@@ -54,12 +60,24 @@ class PoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray   # () int32 — point inliers (the tracking gate)
 
 
+def _pt_edges(cam, T, obs: PoseObs):
+    """Point residual/Jacobian terms + the per-edge chi2 gate (2-dof mono
+    5.991 / 3-dof stereo 7.815, `src/Optimizer.cc:676-678`)."""
+    if obs.pt_ur is None:
+        r, J, _, z = residuals.point_residual(cam, T, obs.pt_xyz, obs.pt_uv)
+        return r, J, z, CHI2_POINT
+    r, J, _, z = residuals.point_residual_stereo(
+        cam, obs.bf, T, obs.pt_xyz, obs.pt_uv, obs.pt_ur)
+    gate = jnp.where(obs.pt_ur > 0, CHI2_STEREO, CHI2_POINT)
+    return r, J, z, gate
+
+
 def _normal_equations(cam, T, obs: PoseObs, pt_in, ln_in, robust: bool):
     """Masked 6x6 H, 6 b, and per-edge chi2 values at pose T."""
-    r_p, J_p, _, z_p = residuals.point_residual(cam, T, obs.pt_xyz, obs.pt_uv)
+    r_p, J_p, z_p, gate_p = _pt_edges(cam, T, obs)
     w_p = 1.0 / obs.pt_sigma2
     chi2_p = jnp.sum(r_p * r_p, axis=-1) * w_p
-    rw_p = jnp.where(robust, residuals.huber_weight(chi2_p, CHI2_POINT), 1.0)
+    rw_p = jnp.where(robust, residuals.huber_weight(chi2_p, gate_p), 1.0)
     m_p = (obs.pt_mask & pt_in & (z_p > 0)).astype(jnp.float32) * w_p * rw_p
     H_p = jnp.einsum("nij,nik,n->jk", J_p, J_p, m_p)
     b_p = -jnp.einsum("nij,ni,n->j", J_p, r_p, m_p)
@@ -72,15 +90,15 @@ def _normal_equations(cam, T, obs: PoseObs, pt_in, ln_in, robust: bool):
     H_l = jnp.einsum("nj,nk,n->jk", J_l, J_l, m_l)
     b_l = -jnp.einsum("nj,n,n->j", J_l, r_l, m_l)
 
-    return H_p + H_l, b_p + b_l, chi2_p, chi2_l, z_p, z_l
+    return H_p + H_l, b_p + b_l, chi2_p, chi2_l, z_p, z_l, gate_p
 
 
 def _cost(cam, T, obs: PoseObs, pt_in, ln_in, robust: bool):
     robust = jnp.asarray(robust)
-    r_p, _, _, z_p = residuals.point_residual(cam, T, obs.pt_xyz, obs.pt_uv)
+    r_p, _, z_p, gate_p = _pt_edges(cam, T, obs)
     chi2_p = jnp.sum(r_p * r_p, axis=-1) / obs.pt_sigma2
-    rho_p = jnp.where(robust & (chi2_p > CHI2_POINT),
-                      2.0 * jnp.sqrt(CHI2_POINT * jnp.maximum(chi2_p, 0.0)) - CHI2_POINT,
+    rho_p = jnp.where(robust & (chi2_p > gate_p),
+                      2.0 * jnp.sqrt(gate_p * jnp.maximum(chi2_p, 0.0)) - gate_p,
                       chi2_p)
     c_p = jnp.sum(jnp.where(obs.pt_mask & pt_in & (z_p > 0), rho_p, 0.0))
 
@@ -126,9 +144,9 @@ def pose_optimize(cam, T_init, obs: PoseObs,
                                     (T, jnp.float32(1e-3), c0))
 
         # Reclassify inliers for the next round (all edges re-tested).
-        _, _, chi2_p, chi2_l, z_p, z_l = _normal_equations(
+        _, _, chi2_p, chi2_l, z_p, z_l, gate_p = _normal_equations(
             cam, T, obs, jnp.ones(P, bool), jnp.ones(L, bool), robust)
-        pt_in = (chi2_p <= CHI2_POINT) & (z_p > 0) & obs.pt_mask
+        pt_in = (chi2_p <= gate_p) & (z_p > 0) & obs.pt_mask
         ln_in = (chi2_l <= CHI2_LINE) & (z_l > 0) & obs.ln_mask
         return T, pt_in, ln_in
 

@@ -50,6 +50,43 @@ def point_residual(cam, T_cw, X_w, uv_obs):
     return r, J_pose, J_point, z
 
 
+def point_residual_stereo(cam, bf, T_cw, X_w, uv_obs, ur_obs):
+    """3-component stereo reprojection residual (u_l, v_l, u_r) and
+    Jacobians — g2o's `EdgeStereoSE3ProjectXYZ`
+    (`Thirdparty/g2o/g2o/types/types_six_dof_expmap.h:144-208`): the right-
+    image column prediction is u_r = u_l - bf/z with bf = fx * baseline
+    (the reference's `mbf`, `src/Frame.cc:977`). Observations with
+    ur_obs <= 0 are monocular: their third component and Jacobian row are
+    zeroed, so mixed mono/stereo edge sets share one batched form.
+
+    Returns (r (...,3), J_pose (...,3,6), J_point (...,3,3), z (...,)).
+    """
+    Xc = se3.transform(T_cw, X_w)
+    x, y = Xc[..., 0], Xc[..., 1]
+    z = Xc[..., 2]
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    iz2 = iz * iz
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - bf * iz
+    has = ur_obs > 0
+    r = jnp.stack([u - uv_obs[..., 0], v - uv_obs[..., 1],
+                   jnp.where(has, ur - ur_obs, 0.0)], axis=-1)
+
+    zeros = jnp.zeros_like(x)
+    hasf = has.astype(jnp.float32)
+    row_u = jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1)
+    row_v = jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1)
+    row_ur = (row_u + jnp.stack([zeros, zeros, bf * iz2], axis=-1)
+              ) * hasf[..., None]
+    Jproj = jnp.stack([row_u, row_v, row_ur], axis=-2)   # (...,3,3)
+    dXc_dw = -se3.hat(Xc)
+    J_pose = jnp.concatenate([Jproj @ dXc_dw, Jproj], axis=-1)  # (...,3,6)
+    R = T_cw[..., :3, :3]
+    J_point = Jproj @ R
+    return r, J_pose, J_point, z
+
+
 def line_endpoint_residual(cam, T_cw, X_w, line2d):
     """Signed distance of a projected 3D endpoint to an observed 2D line.
 

@@ -74,8 +74,8 @@ def exact_rot_desc(blur, uv, ang):
     h, w = blur.shape
     c, s = np.cos(ang), np.sin(ang)              # (K,)
     pat = PATTERN.astype(np.float64)             # (256, 4)
-    bits = np.zeros((len(uv), 256), np.uint8)
-    for which, out_idx in ((0, 0), (2, 1)):
+
+    def sample(which):
         px, py = pat[:, which], pat[:, which + 1]
         rx = np.clip(np.round(px[None] * c[:, None] - py[None] * s[:, None]),
                      -HALF_PATCH, HALF_PATCH)
@@ -83,10 +83,9 @@ def exact_rot_desc(blur, uv, ang):
                      -HALF_PATCH, HALF_PATCH)
         x = np.clip(np.round(uv[:, 0:1] + rx).astype(int), 0, w - 1)
         y = np.clip(np.round(uv[:, 1:2] + ry).astype(int), 0, h - 1)
-        if out_idx == 0:
-            ia = blur[y, x]
-        else:
-            ib = blur[y, x]
+        return blur[y, x]
+
+    ia, ib = sample(0), sample(2)
     return (ib > ia).astype(np.uint8)
 
 
@@ -96,8 +95,9 @@ def feats_variant(img, variant):
         orb_d = cv2.ORB_create(nfeatures=1024, scaleFactor=1.2, nlevels=8,
                                fastThreshold=20)
         kps, desc = orb_d.detectAndCompute(img, None)
-        uv = np.array([k.pt for k in kps]) if kps else np.zeros((0, 2))
-        return uv, ("packed", desc)
+        if not kps or desc is None:
+            return np.zeros((0, 2)), ("packed", np.zeros((0, 32), np.uint8))
+        return np.array([k.pt for k in kps]), ("packed", desc)
     data = extract_ours(img)
     uvs, descs = [], []
     if variant == "ours+cv2desc":
@@ -113,8 +113,9 @@ def feats_variant(img, variant):
                 kps.append(kp)
         orb_d = cv2.ORB_create(nfeatures=2048, scaleFactor=1.2, nlevels=8)
         kps2, desc = orb_d.compute(img, kps)
-        uv = np.array([k.pt for k in kps2]) if kps2 else np.zeros((0, 2))
-        return uv, ("packed", desc)
+        if not kps2 or desc is None:
+            return np.zeros((0, 2)), ("packed", np.zeros((0, 32), np.uint8))
+        return np.array([k.pt for k in kps2]), ("packed", desc)
     for d in data:
         v = d["valid"]
         uv0 = d["uv"][v] * d["sxy"][None]
@@ -124,6 +125,8 @@ def feats_variant(img, variant):
             bits = d["bits"][v]
         uvs.append(uv0)
         descs.append(bits)
+    if not uvs or sum(len(u) for u in uvs) == 0:
+        return np.zeros((0, 2)), ("bits", np.zeros((0, 256), np.uint8))
     return np.concatenate(uvs), ("bits", np.concatenate(descs))
 
 
@@ -170,6 +173,10 @@ def main():
             uv1, d1 = feats_variant(im1, v)
             uv2, d2 = feats_variant(im2, v)
             nfeat[v] += [len(uv1), len(uv2)]
+            if len(uv1) == 0 or len(uv2) == 0:   # blank/unreadable frame
+                for kname in ("crosscheck50", "ratio"):
+                    acc.setdefault((v, kname), []).append((0, 0))
+                continue
             st = stages(uv1, uv2, ham(d2, d1), gt[i], gt[jdx])
             for kname, val in st.items():
                 acc.setdefault((v, kname), []).append(val)

@@ -233,3 +233,98 @@ class TestLocalBA:
         res = local_ba.bundle_adjust(prob, CAM)
         np.testing.assert_array_equal(np.asarray(res.kf_T[0]), Ts[0])
         np.testing.assert_array_equal(np.asarray(res.kf_T[1]), Ts[1])
+
+
+class TestStereoEdges:
+    """3-dof stereo point edges (`EdgeStereoSE3ProjectXYZ`,
+    types_six_dof_expmap.h:144): u_r = u_l - bf/z anchors depth/scale."""
+    BF = 500.0 * 0.3  # fx * baseline
+
+    def _stereo_obs(self, noise=0.5, seed=1):
+        rng = np.random.default_rng(seed)
+        T_true, X, uv, *_ = make_pnpl(noise=noise, seed=seed)
+        Xc = (T_true[:3, :3] @ X.T).T + T_true[:3, 3]
+        ur = uv[:, 0] - self.BF / Xc[:, 2] \
+            + rng.normal(0, noise, len(X)).astype(np.float32)
+        # a third of the observations stay monocular (ur = -1)
+        ur[::3] = -1.0
+        return T_true, X, uv, ur
+
+    def test_stereo_jacobian_matches_autodiff(self):
+        T_true, X, uv, ur = self._stereo_obs()
+        T = jnp.asarray(T_true)
+
+        def r_st(xi):
+            Tp = se3.se3_exp(xi) @ T
+            r, *_ = residuals.point_residual_stereo(
+                CAM, self.BF, Tp, jnp.asarray(X), jnp.asarray(uv),
+                jnp.asarray(ur))
+            return r
+        J_auto = jax.jacobian(r_st)(jnp.zeros(6))
+        _, J_an, _, _ = residuals.point_residual_stereo(
+            CAM, self.BF, T, jnp.asarray(X), jnp.asarray(uv), jnp.asarray(ur))
+        np.testing.assert_allclose(np.asarray(J_auto), np.asarray(J_an),
+                                   rtol=1e-4, atol=1e-4)
+
+        def r_x(dx):
+            r, *_ = residuals.point_residual_stereo(
+                CAM, self.BF, T, jnp.asarray(X) + dx[None, :],
+                jnp.asarray(uv), jnp.asarray(ur))
+            return r
+        Jx_auto = jax.jacobian(r_x)(jnp.zeros(3))
+        _, _, Jx_an, _ = residuals.point_residual_stereo(
+            CAM, self.BF, T, jnp.asarray(X), jnp.asarray(uv), jnp.asarray(ur))
+        np.testing.assert_allclose(np.asarray(Jx_auto), np.asarray(Jx_an),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_stereo_pose_opt_recovers_depth_translation(self):
+        """Pure forward translation is weakly observable from mono edges of
+        near-frontal points; the u_r component pins it."""
+        T_true, X, uv, ur = self._stereo_obs(noise=0.3)
+        eln = pose_opt.PoseObs.empty_lines(2)
+        obs = pose_opt.PoseObs(jnp.asarray(X), jnp.asarray(uv),
+                               jnp.ones(len(X)), jnp.ones(len(X), bool),
+                               *eln, pt_ur=jnp.asarray(ur), bf=self.BF)
+        out = pose_opt.pose_optimize(CAM, jnp.eye(4), obs)
+        d = np.asarray(se3.se3_log(
+            jnp.asarray(np.asarray(out.T) @ np.linalg.inv(T_true))))
+        assert np.linalg.norm(d[:3]) < 2e-3, d
+        assert np.linalg.norm(d[3:]) < 1e-2, d
+
+    def test_stereo_ba_pins_scale(self):
+        """A BA window whose initial landmarks carry a 5% scale error must
+        pull back toward metric scale with stereo edges (mono BA cannot:
+        scale is gauge there)."""
+        rng = np.random.default_rng(3)
+        K, P = 4, 120
+        X = np.stack([rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P),
+                      rng.uniform(4, 8, P)], -1).astype(np.float32)
+        kf_T = []
+        for k in range(K):
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = -0.25 * k
+            kf_T.append(T)
+        kf_T = np.stack(kf_T)
+        obs_uv = np.zeros((K, P, 2), np.float32)
+        obs_ur = np.zeros((K, P), np.float32)
+        for k in range(K):
+            Xc = (kf_T[k, :3, :3] @ X.T).T + kf_T[k, :3, 3]
+            uv = np.asarray(camera.project(CAM, jnp.asarray(Xc)))
+            obs_uv[k] = uv + rng.normal(0, 0.3, uv.shape)
+            obs_ur[k] = obs_uv[k][:, 0] - self.BF / Xc[:, 2]
+        X0 = X * 1.05  # scaled-up initial landmarks
+        prob = local_ba.BAProblem(
+            kf_T=jnp.asarray(kf_T),
+            kf_fixed=jnp.asarray([True] + [False] * (K - 1)),
+            kf_mask=jnp.ones(K, bool),
+            pt_xyz=jnp.asarray(X0),
+            pt_mask=jnp.ones(P, bool),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_mask=jnp.ones((K, P), bool),
+            obs_sigma2=jnp.ones((K, P)),
+            **local_ba.BAProblem.empty_lines(K),
+            obs_ur=jnp.asarray(obs_ur), bf=self.BF)
+        res = local_ba.bundle_adjust(prob, CAM)
+        err0 = np.linalg.norm(X0 - X, axis=-1).mean()
+        err1 = np.linalg.norm(np.asarray(res.pt_xyz) - X, axis=-1).mean()
+        assert err1 < 0.25 * err0, (err0, err1)
