@@ -1219,7 +1219,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      matched_ln, frame_id, kp_depth, sigma2_levels,
                      scale_factors, window: int, p_ba: int, l_ba: int,
                      max_depth: float, do_kf_cull, use_depth,
-                     desc_majority: bool = False, bf: float = 0.0) -> MapState:
+                     desc_majority: bool = False, bf: float = 0.0,
+                     tri_covis: bool = False) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -1241,12 +1242,37 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     # create_new_points. The reference iterates the 10-20 best covisible
     # neighbors (`LocalMapping.cc:329`); on a sequential trajectory the
     # {1,2,4,8}-back ladder spans the same baseline range at fixed cost.
-    for back in (8, 4, 2):
-        ms = jax.lax.cond(
-            k_new >= back,
-            lambda m, b=back: create_new_points(
-                cam, m, k_new, k_new - b, sigma2_levels, scale_factors),
-            lambda m, b=back: m, ms)
+    # With `tri_covis`, partners are instead the top-3 TRUE covisible
+    # keyframes (ordered deepest-baseline-first), which follows the
+    # reference at revisits where covisible != recent; each falls back to
+    # its ladder slot when covisibility is too weak (< 10 shared points).
+    if tri_covis:
+        K_all = ms.kf_T.shape[0]
+        row = mstate.covis_rows(ms, jnp.reshape(k_new, (1,)))[0]   # (K,)
+        w = jnp.where(ms.kf_valid & (jnp.arange(K_all) != k_new), row, -1)
+        _, top = jax.lax.top_k(w, 3)
+        c_new = se3.se3_inv(ms.kf_T[k_new])[:3, 3]
+        cs = jax.vmap(lambda k: se3.se3_inv(ms.kf_T[k])[:3, 3])(top)
+        base = jnp.linalg.norm(cs - c_new, axis=-1)
+        base = jnp.where(w[top] >= 10, base, -1.0)
+        order = jnp.argsort(-base)
+        top = top[order]
+        base = base[order]
+        for i, back in enumerate((8, 4, 2)):
+            kr = jnp.where(base[i] > 0, top[i],
+                           jnp.clip(k_new - back, 0))
+            ms = jax.lax.cond(
+                (kr < k_new) & (kr >= 0),
+                lambda m, kr=kr: create_new_points(
+                    cam, m, k_new, kr, sigma2_levels, scale_factors),
+                lambda m, kr=kr: m, ms)
+    else:
+        for back in (8, 4, 2):
+            ms = jax.lax.cond(
+                k_new >= back,
+                lambda m, b=back: create_new_points(
+                    cam, m, k_new, k_new - b, sigma2_levels, scale_factors),
+                lambda m, b=back: m, ms)
     ms = create_new_points(cam, ms, k_new, k_new - 1, sigma2_levels,
                            scale_factors)
     if lfeats is not None:

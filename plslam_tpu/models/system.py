@@ -57,6 +57,15 @@ class SLAMConfig:
                                     # on the photo head-to-head, though
                                     # within the single-run ATE noise floor
                                     # (ops/extract.refine_subpixel) — keep off
+    sel_order: str = "uniform"      # keypoint selection priority under the
+                                    # per-cell cap: "uniform" = champion-per-
+                                    # cell first (quadtree-parity; measured
+                                    # 30% kp repeatability @1.5px on the
+                                    # photo head-to-head), "response" =
+                                    # strongest-first (cv2 retainBest order;
+                                    # 70-73% repeatability, fewer occupied
+                                    # cells). Default decided by the paired
+                                    # multirun protocol (BASELINE.md r4).
     level_map: int = 1              # pyramid level->base coordinate mapping
                                     # (ops/extract.ExtractorConfig.level_map):
                                     # 0 naive reference parity, 1 actual-ratio
@@ -111,6 +120,14 @@ class SLAMConfig:
                                   # effective chi2 gate admits only
                                   # well-localized lines)
     use_loop_closing: bool = True
+    tri_covis: bool = False         # triangulation partners = top-3 TRUE
+                                    # covisible keyframes (deepest baseline
+                                    # first) instead of the fixed {8,4,2}-
+                                    # back recency ladder — the reference's
+                                    # GetBestCovisibilityKeyFrames choice
+                                    # (src/LocalMapping.cc:333). Default
+                                    # decided by the paired multirun
+                                    # protocol.
     young_gba_until_kf: int = 0     # 0 = off. Run a synchronous full-map BA after
                                     # each keyframe while n_kf <= this.
                                     # The reference's local BA covers ALL
@@ -228,7 +245,7 @@ class System:
             n_features=config.n_features, n_levels=config.n_levels,
             scale=config.scale_factor, th_fast_high=config.th_fast_high,
             th_fast_low=config.th_fast_low, subpixel=config.subpixel,
-            level_map=config.level_map)
+            level_map=config.level_map, sel_order=config.sel_order)
         self.map_cfg = mstate.MapConfig(
             max_kf=config.max_kf, max_pt=config.max_pt, max_ln=config.max_ln,
             n_kp=config.n_features, n_lf=config.n_lf,
@@ -315,7 +332,8 @@ class System:
                         window=config.ba_window, p_ba=config.ba_points,
                         l_ba=config.ba_lines, max_depth=config.th_depth,
                         use_depth=ud, bf=self._bf,
-                        desc_majority=config.desc_majority),
+                        desc_majority=config.desc_majority,
+                        tri_covis=config.tri_covis),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
                         sigma2_levels=self.sigma2,
@@ -323,7 +341,8 @@ class System:
                         window=config.ba_window, p_ba=config.ba_points,
                         l_ba=config.ba_lines, max_depth=config.th_depth,
                         use_depth=ud, bf=self._bf,
-                        desc_majority=config.desc_majority)
+                        desc_majority=config.desc_majority,
+                        tri_covis=config.tri_covis)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors, n_levels=config.n_levels,

@@ -58,6 +58,12 @@ class ExtractorConfig(NamedTuple):
                               #     half-pixel-center bilinear pyramid).
                               # See scripts/gba_gt_probe.py for the
                               # measured per-octave bias table.
+    sel_order: str = "uniform"  # keypoint selection priority once the
+                              # per-cell cap holds (ops/select.py): "uniform"
+                              # = champion-per-cell first (quadtree goal);
+                              # "response" = strongest-first (cv2 retainBest
+                              # ordering; measured 2.3x keypoint
+                              # repeatability on the photo head-to-head)
 
 
 def level_budgets(cfg: ExtractorConfig):
@@ -89,7 +95,8 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
         else:
             score = fast.fast_dual_threshold(im_l, cfg.th_fast_high,
                                              cfg.th_fast_low, cfg.margin)
-        uv, resp, valid = select.select_grid_topk(score, n_l, cell=cfg.cell)
+        uv, resp, valid = select.select_grid_topk(score, n_l, cell=cfg.cell,
+                                                  order=cfg.sel_order)
         ang = orb.ic_angle(im_l, uv)
         im_blur = pyramid.blur(im_l)
         bits = orb.steered_descriptor(im_blur, uv, ang)

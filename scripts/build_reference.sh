@@ -67,7 +67,15 @@ CMFLAGS=(-DCMAKE_BUILD_TYPE=Release "-DEIGEN3_INCLUDE_DIR=$EIGEN_TF")
 # annotations on several fixed-size-Eigen-member classes, so ANY >16-byte
 # alignment requirement is unsound. Must be identical across g2o/DBoW2/
 # main lib (Eigen types cross those ABI boundaries).
-sed -i 's/-march=native/-march=native -mno-avx512f -mno-avx512fp16 -DEIGEN_MAX_ALIGN_BYTES=16/g' \
+# REF_MARCH overrides the ISA baseline. Default x86-64-v2 (SSE4.2, no AVX
+# at all): a THIRD host (AMX/sapphire-rapids feature set) reproduced the
+# line-BA heap corruption even with -mno-avx512f + MAX_ALIGN_BYTES=16 —
+# with AVX2 enabled, Eigen still emits 32-byte stores into the reference's
+# unannotated fixed-size members. No-AVX is the only setting observed safe
+# on every host so far; the accuracy comparison does not care about the
+# reference's SIMD width (it changes wall time, not trajectories).
+REF_MARCH="${REF_MARCH:--march=x86-64-v2}"
+sed -i "s/-march=native/$REF_MARCH -DEIGEN_MAX_ALIGN_BYTES=16/g" \
   "$REF/CMakeLists.txt" \
   "$REF/Thirdparty/g2o/CMakeLists.txt" "$REF/Thirdparty/DBoW2/CMakeLists.txt"
 

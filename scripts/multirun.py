@@ -49,15 +49,18 @@ def ensure_reference(seed: int, frames: int):
         return json.load(f)["reference"]["traj"]
 
 
-def run_ours(seed: int, cond: str, frames: int):
+def run_ours(seed: int, cond: str, frames: int, tpu: bool = False):
     tag = cond.replace(" ", "+").replace("=", "-") or "default"
+    if tpu:
+        tag += "_tpu"
     cache = os.path.join(OUT, f"s{seed}_{tag}.json")
     if os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)
     env = dict(os.environ, SEQ_DIR=seq_dir(seed), SCENE_SEED=str(seed))
     cmd = [sys.executable, os.path.join(REPO, "scripts", "ab_ours.py"),
-           "--cpu", "--frames", str(frames)] + (cond.split() if cond else [])
+           "--frames", str(frames)] + ([] if tpu else ["--cpu"]) \
+        + (cond.split() if cond else [])
     p = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=3600)
     line = [l for l in p.stdout.splitlines() if l.startswith("{")]
@@ -76,6 +79,9 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[5, 11, 23])
     ap.add_argument("--conditions", nargs="+", default=[""])
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the rebuild side on the real TPU chip "
+                         "(cache entries tagged _tpu; never mixed with CPU)")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
 
@@ -90,7 +96,7 @@ def main():
     table = {}
     for cond in args.conditions:
         for seed in args.seeds:
-            r = run_ours(seed, cond, args.frames)
+            r = run_ours(seed, cond, args.frames, tpu=args.tpu)
             table[(cond, seed)] = r
             print(f"ours s{seed} [{cond or 'default'}]: "
                   f"kf_ate={r['kf_ate']:.5f} "
@@ -103,6 +109,7 @@ def main():
         drifts = [table[(cond, s)].get("kf_drift_per_m", -1)
                   for s in args.seeds]
         line = (f"[{cond or 'default'}] kf_ate mean={sum(ates)/len(ates):.5f} "
+                f"min={min(ates):.4f} max={max(ates):.4f} "
                 f"{[round(a, 4) for a in ates]} "
                 f"drift mean={sum(drifts)/len(drifts):.5f}")
         if refs:
@@ -110,6 +117,34 @@ def main():
                      for s in args.seeds]
             line += f" ate_ratio_vs_ref={[round(r, 2) for r in ratio]}"
         print(line)
+
+    # --- paired-difference verdicts: condition i vs the FIRST condition ---
+    # A lever is ACCEPTED only if it improves the paired log-ratio on a
+    # clear majority of seeds AND the geometric-mean improvement beats the
+    # measured single-run chaos floor (~2x single-seed => require the
+    # n-seed geomean to move by > floor^(1/sqrt(n)), i.e. the noise of an
+    # n-seed mean). Sign consistency guards against one lucky seed.
+    import math
+    base = args.conditions[0]
+    n = len(args.seeds)
+    floor_single = 2.0
+    floor_mean = floor_single ** (1.0 / math.sqrt(n))
+    if len(args.conditions) > 1:
+        print(f"\n=== paired verdicts vs [{base or 'default'}] "
+              f"(n={n} seeds, geomean must beat {floor_mean:.2f}x) ===")
+    for cond in args.conditions[1:]:
+        logr = [math.log(table[(cond, s)]["kf_ate"]
+                         / max(table[(base, s)]["kf_ate"], 1e-12))
+                for s in args.seeds]
+        wins = sum(1 for v in logr if v < 0)
+        gm = math.exp(sum(logr) / n)   # <1 = cond better
+        if gm < 1.0 / floor_mean and wins >= (n + 1) // 2 + (n > 3):
+            verdict = "ACCEPT"
+        elif gm > floor_mean and (n - wins) >= (n + 1) // 2 + (n > 3):
+            verdict = "REJECT (worse)"
+        else:
+            verdict = "INCONCLUSIVE"
+        print(f"[{cond}] geomean_ratio={gm:.3f} wins={wins}/{n} -> {verdict}")
 
 
 if __name__ == "__main__":
