@@ -19,7 +19,12 @@ import jax.numpy as jnp
 def main():
     from plslam_tpu.datasets import synthetic, textured
     from plslam_tpu.ops import extract
-    from plslam_tpu.vocab import bow
+    from plslam_tpu.vocab import bow, orbvoc
+
+    # optional tree-vocabulary backends to compare against the LSH default:
+    # --voc PATH loads a DBoW2 text file (e.g. the reference-trained
+    # /tmp/refseq2/voc.txt, k=10 L=4 — VERDICT r3 item 8 cross-validation)
+    voc_paths = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--voc=")]
 
     scene = textured.make_photo_scene(seed=3)
     n = 36
@@ -72,6 +77,38 @@ def main():
     print(f"mean score relevant={np.mean(rel_s):.4f} "
           f"irrelevant={np.mean(irr_s):.4f} "
           f"separation={np.mean(rel_s)/max(np.mean(irr_s),1e-9):.2f}x")
+
+    # --- tree-vocabulary comparison + candidate-set overlap vs LSH ---
+    def eval_bows(bows_x, name):
+        h1 = h4 = tot = 0
+        top4 = {}
+        for i in range(n):
+            cand = [j for j in range(n) if abs(i - j) > 6]
+            sc = np.minimum(bows_x[i][None, :], bows_x[cand]).sum(-1)
+            order = np.argsort(-sc)
+            top4[i] = {cand[o] for o in order[:4]}
+            if not any(relevant[i, j] for j in cand):
+                continue
+            tot += 1
+            h1 += bool(relevant[i, cand[order[0]]])
+            h4 += any(relevant[i, cand[o]] for o in order[:4])
+        print(f"{name}: precision@1={h1/max(tot,1):.3f} "
+              f"recall@4={h4/max(tot,1):.3f}")
+        return top4
+
+    top4_lsh = eval_bows(bows, "LSH-4096 (default)")
+    for vp in voc_paths:
+        voc = orbvoc.load_text(vp)
+        bow.set_vocabulary(voc)
+        try:
+            bows_v = np.stack([np.asarray(bow.bow_vector(f.desc, f.valid))
+                               for f in feats])
+        finally:
+            bow.set_vocabulary(None)
+        t4 = eval_bows(bows_v, f"ORBvoc k={voc.k} L={voc.L} "
+                               f"({voc.n_words} words, {vp})")
+        overlap = np.mean([len(t4[i] & top4_lsh[i]) / 4.0 for i in range(n)])
+        print(f"  candidate-set overlap@4 vs LSH: {overlap:.2f}")
 
 
 if __name__ == "__main__":
