@@ -153,13 +153,14 @@ def main():
     jax.block_until_ready(slam.T_last)
     up_fps = n_up / (time.perf_counter() - t0)
 
-    # per-frame synced latency (median)
+    # per-frame synced latency (median): one frame in, pose + resolved
+    # keyframe/lost decision out (System.track_synced — the live-camera
+    # path: fused extract+track program + immediate scalar readback)
+    slam.track_synced(frames_dev[0], 79.9)   # compile the B=1 chunk shape
     t_lat = []
     for j in range(24):
         t0 = time.perf_counter()
-        slam.track_monocular(frames_dev[j % n_frames], 80.0 + j / 30.0)
-        slam.flush()
-        jax.block_until_ready(slam.T_last)
+        slam.track_synced(frames_dev[j % n_frames], 80.0 + j / 30.0)
         t_lat.append(time.perf_counter() - t0)
     lat_med = float(np.median(t_lat))
 
