@@ -94,6 +94,16 @@ def main():
     slam.save_trajectory_tum(out)
     slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
     print(f"trajectory saved to {out}")
+    # machine-readable run stats for harnesses (scripts/ref_compare.py)
+    import json
+    with open("mono_tum_stats.json", "w") as f:
+        json.dump({
+            "median_track_s": times[len(times) // 2],
+            "mean_track_s": float(np.mean(times)),
+            "n_kf": int(slam.n_kf_host),
+            "n_loops": int(getattr(slam.loop_closer, "n_loops", 0)),
+            "n_gba_done": int(getattr(slam, "n_gba_done", 0)),
+        }, f)
     return 0
 
 

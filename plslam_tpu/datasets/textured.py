@@ -65,10 +65,17 @@ def _tile_photo(photo: np.ndarray, h: int, w: int, rng, n_aug: int = 4
 
 def make_photo_scene(seed: int = 0, width: int = 640, height: int = 480,
                      fx: float = 500.0, fy: float = 500.0,
-                     n_lines: int = 32) -> Scene:
-    """Room layout (back wall + floor + side wall) textured with real
-    photographic content; same trajectory/rendering machinery as
-    `synthetic.make_scene`."""
+                     n_lines: int = 32, layout: str = "open") -> Scene:
+    """Room layout textured with real photographic content; same
+    trajectory/rendering machinery as `synthetic.make_scene`.
+
+    layout='open': back wall + floor + side wall (the head-to-head orbit
+    fixture — camera always looks toward +z).
+    layout='room': a closed 6 m box (4 walls + floor + ceiling) so a
+    circular trajectory looking radially outward sees photo texture in
+    EVERY heading — the photo-realistic loop-closure fixture (the circle
+    breaks covisibility between opposite headings, so the final frames
+    revisit the first viewpoints through place recognition only)."""
     rng = np.random.default_rng(seed)
     photo = _load_photo()
     ts = 0.01
@@ -81,15 +88,34 @@ def make_photo_scene(seed: int = 0, width: int = 640, height: int = 480,
                      e1 / np.linalg.norm(e1), e2 / np.linalg.norm(e2),
                      ts, tex)
 
-    planes = [
-        plane([-6.0, -4.0, 9.0], [1, 0, 0], [0, 1, 0], (800, 1200)),
-        plane([-6.0, 2.5, 2.0], [1, 0, 0], [0, 0.12, 1.0], (800, 1200)),
-        plane([-5.5, -4.0, 2.0], [0.08, 0, 1.0], [0, 1, 0], (800, 800)),
-    ]
+    if layout == "room":
+        h = 6.0  # half-extent of the box in x/z; walls span y in [-4, 3]
+        planes = [
+            plane([-h, -4.0, h], [1, 0, 0], [0, 1, 0], (700, 1200)),   # +z
+            plane([h, -4.0, -h], [-1, 0, 0], [0, 1, 0], (700, 1200)),  # -z
+            plane([-h, -4.0, -h], [0, 0, 1], [0, 1, 0], (700, 1200)),  # -x
+            plane([h, -4.0, h], [0, 0, -1], [0, 1, 0], (700, 1200)),   # +x
+            plane([-h, 3.0, -h], [1, 0, 0], [0, 0, 1], (1200, 1200)),  # floor
+            plane([-h, -4.0, -h], [1, 0, 0], [0, 0, 1], (1200, 1200)),  # ceil
+        ]
+    else:
+        planes = [
+            plane([-6.0, -4.0, 9.0], [1, 0, 0], [0, 1, 0], (800, 1200)),
+            plane([-6.0, 2.5, 2.0], [1, 0, 0], [0, 0.12, 1.0], (800, 1200)),
+            plane([-5.5, -4.0, 2.0], [0.08, 0, 1.0], [0, 1, 0], (800, 800)),
+        ]
 
-    la = np.stack([rng.uniform(-3.5, 3.5, n_lines),
-                   rng.uniform(-2.5, 2.5, n_lines),
-                   rng.uniform(3.5, 8.0, n_lines)], -1)
+    if layout == "room":
+        # keep segments inside the box: the renderer draws segments on top
+        # of planes without a z-test, so out-of-room lines would bleed
+        # through walls
+        la = np.stack([rng.uniform(-4.5, 4.5, n_lines),
+                       rng.uniform(-3.0, 2.0, n_lines),
+                       rng.uniform(-4.5, 4.5, n_lines)], -1)
+    else:
+        la = np.stack([rng.uniform(-3.5, 3.5, n_lines),
+                       rng.uniform(-2.5, 2.5, n_lines),
+                       rng.uniform(3.5, 8.0, n_lines)], -1)
     axes = np.eye(3)[rng.integers(0, 3, n_lines)]
     dirs = axes + rng.normal(0, 0.08, (n_lines, 3))
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)

@@ -36,7 +36,8 @@ SEQ_DIR = os.environ.get("SEQ_DIR", "/tmp/refseq")
 
 
 def render_sequence(n: int, fx: float = 500.0, amplitude: float = 3.0,
-                    z_offset: float = 4.5) -> None:
+                    z_offset: float = 4.5, traj: str = "orbit",
+                    layout: str = "open") -> None:
     """Render the head-to-head sequence.
 
     z_offset moves the camera toward the back wall (world +z): the room's
@@ -54,12 +55,15 @@ def render_sequence(n: int, fx: float = 500.0, amplitude: float = 3.0,
     # protocol (scripts/multirun.py) renders several seeds because
     # single-run ATE on one sequence has a measured ~2x chaos floor
     seed = int(os.environ.get("SCENE_SEED", "5"))
-    stamp = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}_s{seed}")
+    variant = "" if (traj, layout) == ("orbit", "open") else f"_{traj}_{layout}"
+    stamp = os.path.join(
+        SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}_s{seed}{variant}")
     legacy = os.path.join(SEQ_DIR, f"done_{n}_{amplitude}_{z_offset}")
-    if os.path.exists(stamp) or (seed == 5 and os.path.exists(legacy)):
+    if os.path.exists(stamp) or (
+            seed == 5 and not variant and os.path.exists(legacy)):
         return
-    scene = textured.make_photo_scene(seed=seed, fx=fx, fy=fx)
-    Ts = synthetic.trajectory(n, "orbit", amplitude=amplitude)
+    scene = textured.make_photo_scene(seed=seed, fx=fx, fy=fx, layout=layout)
+    Ts = synthetic.trajectory(n, traj, amplitude=amplitude)
     if z_offset:
         for T in Ts:
             T[:3, 3] -= T[:3, :3] @ np.array([0.0, 0.0, z_offset], T.dtype)
@@ -180,18 +184,23 @@ def run_reference(voc: str, n: int):
     wall = time.perf_counter() - t0
     sys.stdout.write(p.stdout[-2000:])
     sys.stderr.write(p.stderr[-2000:])
+    with open(os.path.join(SEQ_DIR, "ref_stdout.log"), "w") as f:
+        f.write(p.stdout)
     med = mean = None
+    n_loops = 0
     for line in p.stdout.splitlines():
         if "median tracking time" in line:
             med = float(line.split(":")[1])
         if "mean tracking time" in line:
             mean = float(line.split(":")[1])
+        if "Loop detected!" in line:   # src/LoopClosing.cc:404
+            n_loops += 1
     # preserve the reference's keyframe file: the rebuild side also writes a
     # KeyFrameTrajectory.txt into its cwd and must not clobber this one
     kf_ref = os.path.join(SEQ_DIR, "RefKeyFrameTrajectory.txt")
     os.replace(os.path.join(SEQ_DIR, "KeyFrameTrajectory.txt"), kf_ref)
     res, _ = eval_traj(kf_ref, n)
-    return {"rc": p.returncode, "wall_s": wall,
+    return {"rc": p.returncode, "wall_s": wall, "n_loops": n_loops,
             "median_track_s": med, "mean_track_s": mean, "traj": res}
 
 
@@ -212,7 +221,14 @@ def run_ours(n: int):
     wall = time.perf_counter() - t0
     res, _ = eval_traj(out, n)
     kf_res, _ = eval_traj(os.path.join(out_dir, "KeyFrameTrajectory.txt"), n)
-    return {"rc": rc, "wall_s": wall, "traj": res, "kf_traj": kf_res}
+    stats = {}
+    stats_path = os.path.join(out_dir, "mono_tum_stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+    return {"rc": rc, "wall_s": wall, "traj": res, "kf_traj": kf_res,
+            **{k: stats[k] for k in ("n_loops", "n_kf", "n_gba_done",
+                                     "median_track_s") if k in stats}}
 
 
 def main():
@@ -221,7 +237,13 @@ def main():
     ap.add_argument("--amplitude", type=float, default=3.0)
     ap.add_argument("--z-offset", type=float, default=4.5,
                     help="move the camera this far toward the back wall "
-                         "(see render_sequence docstring)")
+                         "(see render_sequence docstring). Use 0 with "
+                         "--traj circle (z there is radially outward)")
+    ap.add_argument("--traj", default="orbit",
+                    choices=["orbit", "loop", "circle", "forward"],
+                    help="trajectory kind; 'circle' + --layout room is the "
+                         "photo-realistic loop-closure fixture")
+    ap.add_argument("--layout", default="open", choices=["open", "room"])
     ap.add_argument("--out", default=os.path.join(SEQ_DIR, "compare.json"))
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--skip-ref", action="store_true")
@@ -236,7 +258,8 @@ def main():
 
     print(f"rendering {args.frames} frames -> {SEQ_DIR}", flush=True)
     render_sequence(args.frames, amplitude=args.amplitude,
-                    z_offset=args.z_offset)
+                    z_offset=args.z_offset, traj=args.traj,
+                    layout=args.layout)
     results = {"frames": args.frames}
     if os.path.exists(args.out):
         # merge with a prior partial run (e.g. --skip-ours then --skip-ref)
