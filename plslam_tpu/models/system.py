@@ -120,14 +120,18 @@ class SLAMConfig:
                                   # effective chi2 gate admits only
                                   # well-localized lines)
     use_loop_closing: bool = True
-    tri_covis: bool = False         # triangulation partners = top-3 TRUE
+    tri_covis: bool = True          # triangulation partners = top-3 TRUE
                                     # covisible keyframes (deepest baseline
                                     # first) instead of the fixed {8,4,2}-
                                     # back recency ladder — the reference's
                                     # GetBestCovisibilityKeyFrames choice
-                                    # (src/LocalMapping.cc:333). Default
-                                    # decided by the paired multirun
-                                    # protocol.
+                                    # (src/LocalMapping.cc:333). Default ON
+                                    # by the round-4 5-seed campaign: the
+                                    # only condition with NO catastrophic
+                                    # tracking-loss run (max kf ATE 0.062
+                                    # vs 1.24 for the recency ladder);
+                                    # geomean paired ratio 0.50 vs default
+                                    # (BASELINE.md round-4 table).
     young_gba_until_kf: int = 0     # 0 = off. Run a synchronous full-map BA after
                                     # each keyframe while n_kf <= this.
                                     # The reference's local BA covers ALL
