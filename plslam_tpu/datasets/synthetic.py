@@ -131,6 +131,18 @@ def trajectory(n_frames: int, kind: str = "orbit", amplitude: float = 1.0):
             xi = amplitude * np.array(
                 [0.02 * w, 0.15 * w, 0.01 * w, 1.6 * w, 0.2 * w, 0.3 * w],
                 np.float32)
+        elif kind == "sweeps":
+            # repeated out-and-back sweeps with a FIXED 600-frame period:
+            # per-frame motion is constant regardless of n_frames, so a
+            # 1200/2400-frame sequence is genuinely longer (more passes,
+            # more accumulated drift, periodic revisits) rather than the
+            # same path sampled more densely — the long-sequence
+            # head-to-head fixture (VERDICT r3 item 10; TUM fr3 is ~2500
+            # frames). Stays inside the textured-room footprint.
+            w = np.sin(np.pi * i / 300.0)
+            xi = amplitude * np.array(
+                [0.02 * w, 0.15 * w, 0.01 * w, 1.6 * w, 0.2 * w, 0.3 * w],
+                np.float32)
         elif kind == "circle":
             # full 360-degree circuit inside the 'box' scene: the camera
             # orbits the room center at radius `amplitude`, looking

@@ -1220,7 +1220,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      scale_factors, window: int, p_ba: int, l_ba: int,
                      max_depth: float, do_kf_cull, use_depth,
                      desc_majority: bool = False, bf: float = 0.0,
-                     tri_covis: bool = False) -> MapState:
+                     tri_covis: bool = False,
+                     tri_covis_k: int = 3) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -1247,10 +1248,15 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     # reference at revisits where covisible != recent; each falls back to
     # its ladder slot when covisibility is too weak (< 10 shared points).
     if tri_covis:
+        # top-`tri_covis_k` covisible partners, deepest baseline first;
+        # slot i falls back to its recency-ladder rung when covisibility
+        # is too weak (< 10 shared points). The ladder is geometric
+        # (2, 4, 8, ... frames back) so k=3 reproduces the round-3
+        # {8,4,2}-back ladder as the fallback skeleton.
         K_all = ms.kf_T.shape[0]
         row = mstate.covis_rows(ms, jnp.reshape(k_new, (1,)))[0]   # (K,)
         w = jnp.where(ms.kf_valid & (jnp.arange(K_all) != k_new), row, -1)
-        _, top = jax.lax.top_k(w, 3)
+        _, top = jax.lax.top_k(w, tri_covis_k)
         c_new = se3.se3_inv(ms.kf_T[k_new])[:3, 3]
         cs = jax.vmap(lambda k: se3.se3_inv(ms.kf_T[k])[:3, 3])(top)
         base = jnp.linalg.norm(cs - c_new, axis=-1)
@@ -1258,7 +1264,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
         order = jnp.argsort(-base)
         top = top[order]
         base = base[order]
-        for i, back in enumerate((8, 4, 2)):
+        ladder = [2 ** (tri_covis_k - i) for i in range(tri_covis_k)]
+        for i, back in enumerate(ladder):
             kr = jnp.where(base[i] > 0, top[i],
                            jnp.clip(k_new - back, 0))
             ms = jax.lax.cond(

@@ -132,6 +132,12 @@ class SLAMConfig:
                                     # vs 1.24 for the recency ladder);
                                     # geomean paired ratio 0.50 vs default
                                     # (BASELINE.md round-4 table).
+    tri_covis_k: int = 3            # how many covisible partners (the
+                                    # reference iterates 10-20 covisible
+                                    # neighbors, src/LocalMapping.cc:333;
+                                    # each extra partner costs one more
+                                    # create_new_points program in the
+                                    # keyframe chain)
     young_gba_until_kf: int = 0     # 0 = off. Run a synchronous full-map BA after
                                     # each keyframe while n_kf <= this.
                                     # The reference's local BA covers ALL
@@ -337,7 +343,8 @@ class System:
                         l_ba=config.ba_lines, max_depth=config.th_depth,
                         use_depth=ud, bf=self._bf,
                         desc_majority=config.desc_majority,
-                        tri_covis=config.tri_covis),
+                        tri_covis=config.tri_covis,
+                        tri_covis_k=config.tri_covis_k),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
                         sigma2_levels=self.sigma2,
@@ -346,7 +353,8 @@ class System:
                         l_ba=config.ba_lines, max_depth=config.th_depth,
                         use_depth=ud, bf=self._bf,
                         desc_majority=config.desc_majority,
-                        tri_covis=config.tri_covis)
+                        tri_covis=config.tri_covis,
+                        tri_covis_k=config.tri_covis_k)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors, n_levels=config.n_levels,

@@ -240,7 +240,7 @@ def main():
                          "(see render_sequence docstring). Use 0 with "
                          "--traj circle (z there is radially outward)")
     ap.add_argument("--traj", default="orbit",
-                    choices=["orbit", "loop", "circle", "forward"],
+                    choices=["orbit", "loop", "circle", "forward", "sweeps"],
                     help="trajectory kind; 'circle' + --layout room is the "
                          "photo-realistic loop-closure fixture")
     ap.add_argument("--layout", default="open", choices=["open", "room"])
