@@ -1112,12 +1112,20 @@ def dedup_kf_point_rows(cam, ms: MapState) -> MapState:
         kf_pt_idx=jax.vmap(one)(ms.kf_pt_idx, ms.kf_T, ms.kf_uv))
 
 
-def search_in_neighbors(cam, ms: MapState, k_new) -> MapState:
+def search_in_neighbors(cam, ms: MapState, k_new,
+                        covis_targets: bool = False) -> MapState:
     """`SearchInNeighbors` (`src/LocalMapping.cc:1505`) both directions:
     bind the whole map's visible points into the NEW keyframe's free
     keypoint slots, and the new keyframe's points into its two predecessor
     keyframes — densifying the covisibility graph beyond what tracking
-    inliers alone provide."""
+    inliers alone provide.
+
+    With `covis_targets`, the reverse direction targets the new
+    keyframe's top-2 TRUE covisible keyframes (falling back to the
+    predecessors when covisibility is weak) — the reference's target set
+    is the 20 best covisible neighbors plus their 2-hop extension
+    (`src/LocalMapping.cc:1505-1540`); at revisits those are old-pass
+    keyframes, not the two most recent."""
     K = ms.kf_T.shape[0]
     P = ms.pt_xyz.shape[0]
     all_pts = jnp.ones((P,), bool)
@@ -1126,9 +1134,18 @@ def search_in_neighbors(cam, ms: MapState, k_new) -> MapState:
     new_pts = jnp.zeros((P,), bool).at[
         jnp.clip(ms.kf_pt_idx[k_new], 0, P - 1)].max(
         ms.kf_pt_idx[k_new] >= 0)
-    for back in (1, 2):
-        ms = project_and_bind(cam, ms, jnp.clip(k_new - back, 0, K - 1),
-                              new_pts)
+    if covis_targets:
+        row = mstate.covis_rows(ms, jnp.reshape(k_new, (1,)))[0]   # (K,)
+        w = jnp.where(ms.kf_valid & (jnp.arange(K) != k_new), row, -1)
+        _, top = jax.lax.top_k(w, 2)
+        for i, back in enumerate((1, 2)):
+            kt = jnp.where(w[top[i]] >= 10, top[i],
+                           jnp.clip(k_new - back, 0, K - 1))
+            ms = project_and_bind(cam, ms, kt, new_pts)
+    else:
+        for back in (1, 2):
+            ms = project_and_bind(cam, ms, jnp.clip(k_new - back, 0, K - 1),
+                                  new_pts)
     return ms
 
 
@@ -1221,7 +1238,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      max_depth: float, do_kf_cull, use_depth,
                      desc_majority: bool = False, bf: float = 0.0,
                      tri_covis: bool = False,
-                     tri_covis_k: int = 3) -> MapState:
+                     tri_covis_k: int = 3,
+                     sin_covis: bool = False) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -1301,7 +1319,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
         ms = create_points_from_depth(cam, ms, k_new, kp_depth,
                                       scale_factors, max_depth)
     ms = fuse_duplicate_points(ms)
-    ms = search_in_neighbors(cam, ms, k_new)
+    ms = search_in_neighbors(cam, ms, k_new,
+                             covis_targets=sin_covis)
     # Replace-rewiring above can leave a keyframe with two rows bound to
     # the same landmark (one at the wrong pixel); erase the worse row
     # before BA consumes the observations, then refresh counts.

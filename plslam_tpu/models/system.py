@@ -132,6 +132,14 @@ class SLAMConfig:
                                     # vs 1.24 for the recency ladder);
                                     # geomean paired ratio 0.50 vs default
                                     # (BASELINE.md round-4 table).
+    sin_covis: bool = False         # SearchInNeighbors reverse-rebind
+                                    # targets = top-2 covisible keyframes
+                                    # instead of the 2 predecessor
+                                    # keyframes (the reference's target
+                                    # set is the 20 best covisible + 2-hop,
+                                    # src/LocalMapping.cc:1505-1540);
+                                    # default decided by the paired
+                                    # multirun protocol
     tri_covis_k: int = 3            # how many covisible partners (the
                                     # reference iterates 10-20 covisible
                                     # neighbors, src/LocalMapping.cc:333;
@@ -344,7 +352,8 @@ class System:
                         use_depth=ud, bf=self._bf,
                         desc_majority=config.desc_majority,
                         tri_covis=config.tri_covis,
-                        tri_covis_k=config.tri_covis_k),
+                        tri_covis_k=config.tri_covis_k,
+                        sin_covis=config.sin_covis),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
                         sigma2_levels=self.sigma2,
@@ -354,7 +363,8 @@ class System:
                         use_depth=ud, bf=self._bf,
                         desc_majority=config.desc_majority,
                         tri_covis=config.tri_covis,
-                        tri_covis_k=config.tri_covis_k)
+                        tri_covis_k=config.tri_covis_k,
+                        sin_covis=config.sin_covis)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors, n_levels=config.n_levels,

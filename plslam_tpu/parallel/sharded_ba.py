@@ -33,8 +33,12 @@ from ..optim.local_ba import BAProblem, BAResult
 AXIS = "lm"
 
 
-def problem_specs(axis: str = AXIS) -> BAProblem:
-    """PartitionSpecs for a BAProblem with the landmark axes sharded."""
+def problem_specs(prob: BAProblem = None, axis: str = AXIS) -> BAProblem:
+    """PartitionSpecs for a BAProblem with the landmark axes sharded.
+
+    Mirrors `prob`'s optional fields: `obs_ur` (stereo right-column grid,
+    None on mono problems — None is an empty pytree so its spec is None)
+    and `bf` (a scalar, replicated)."""
     return BAProblem(
         kf_T=P(), kf_fixed=P(), kf_mask=P(),
         pt_xyz=P(axis), pt_mask=P(axis),
@@ -43,6 +47,9 @@ def problem_specs(axis: str = AXIS) -> BAProblem:
         ln_xyz=P(axis), ln_mask=P(axis),
         ln_obs_l2d=P(None, axis), ln_obs_mask=P(None, axis),
         ln_info=P(axis),
+        obs_ur=(P(None, axis)
+                if prob is not None and prob.obs_ur is not None else None),
+        bf=P(),
     )
 
 
@@ -69,7 +76,10 @@ def prepare_problem(prob: BAProblem, n_devices: int) -> BAProblem:
     ln_info = jnp.asarray(prob.ln_info, jnp.float32)
     if ln_info.ndim == 0:
         ln_info = jnp.full((Ln,), ln_info)
+    if prob.obs_ur is not None:
+        prob = prob._replace(obs_ur=pad_to(prob.obs_ur, Pn, 1))
     return prob._replace(
+        bf=jnp.asarray(prob.bf, jnp.float32),
         pt_xyz=pad_to(prob.pt_xyz, Pn, 0),
         pt_mask=pad_to(prob.pt_mask, Pn, 0),
         obs_uv=pad_to(prob.obs_uv, Pn, 1),
@@ -93,6 +103,6 @@ def sharded_bundle_adjust(mesh: Mesh, prob: BAProblem, cam,
     fn = jax.shard_map(
         partial(local_ba.bundle_adjust, cam=cam, iters_a=iters_a,
                 iters_b=iters_b, axis=axis),
-        mesh=mesh, in_specs=(problem_specs(axis),),
+        mesh=mesh, in_specs=(problem_specs(prob, axis),),
         out_specs=result_specs(axis), check_vma=False)
     return fn(prob)

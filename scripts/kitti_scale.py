@@ -67,11 +67,18 @@ def main():
         frame_t[i] = time.perf_counter() - t0
         kf_at[i] = slam.n_kf_host
         if i % 100 == 99:
+            w = slam.stats[-100:]
+            n_lost = sum(1 for s in w if s.get("lost"))
+            n_rel = sum(1 for s in w if s.get("reloc"))
+            n_kf100 = sum(1 for s in w if s.get("kf"))
+            inl = [s["inliers"] for s in w if not s.get("lost")]
             print(f"frame {i+1}: kf={slam.n_kf_host} "
                   f"loops={slam.loop_closer.n_loops} "
                   f"growths={slam.n_growths} "
-                  f"p50={np.median(frame_t[max(0,i-99):i+1])*1e3:.0f}ms",
-                  flush=True)
+                  f"p50={np.median(frame_t[max(0,i-99):i+1])*1e3:.0f}ms "
+                  f"lost={n_lost} reloc={n_rel} kf+={n_kf100} "
+                  f"inl={np.mean(inl):.0f}" if inl else
+                  f"frame {i+1}: all 100 frames lost", flush=True)
     slam.flush()
     wall = time.perf_counter() - t_all
 
@@ -90,9 +97,12 @@ def main():
             }
 
     n_kf = slam.n_kf_host
-    fid = np.asarray(slam.ms.kf_frame_id)[:n_kf]
+    # culled keyframes leave kf_valid=False slots with stale poses —
+    # evaluate ATE over the ALIVE keyframes only
+    alive = np.asarray(slam.ms.kf_valid)[:n_kf]
+    fid = np.asarray(slam.ms.kf_frame_id)[:n_kf][alive]
     gt = Ts[fid]
-    ate = synthetic.ate_rmse(np.asarray(slam.ms.kf_T)[:n_kf], gt)
+    ate = synthetic.ate_rmse(np.asarray(slam.ms.kf_T)[:n_kf][alive], gt)
     gt_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt])
     span = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
 
