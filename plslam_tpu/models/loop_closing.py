@@ -246,7 +246,7 @@ class LoopClosing:
         _, pbest, _ = hamming.masked_best2(Dg, pmask)
         p_ok = pbest <= 50                                       # TH_LOW
         n_total = jnp.sum((ok2 | p_ok).astype(jnp.int32))
-        return n_total, rr.ok, res2.S12, res2.n_inliers
+        return n_total, rr.n_inliers, res2.S12, res2.n_inliers
 
     # ------------------------------------------------------------------
     def _apply_graph_impl(self, ms, nodes_s, nodes_R, nodes_t,
@@ -395,12 +395,26 @@ class LoopClosing:
             if len(group_row) < K_now:
                 group_row = np.pad(group_row,
                                    (0, K_now - len(group_row)))
-            n_matches, ransac_ok, S12, n_inl = self._sim3_stage(
+            n_matches, n_seed, S12, n_inl = self._sim3_stage(
                 ms, jnp.int32(pk), jnp.int32(c), jnp.asarray(group_row),
                 jax.random.PRNGKey(seed + self.n_loops))
-            # >= 20 Sim3-opt inliers (src/LoopClosing.cc:329) AND >= 40
-            # total matches after the guided SearchBySim3 pass (:375-385)
-            if not bool(ransac_ok) or int(n_inl) < 20 or int(n_matches) < 40:
+            # Acceptance: >= 20 Sim3-opt inliers (src/LoopClosing.cc:329)
+            # AND >= 40 total matches after the guided SearchBySim3 pass
+            # (:375-385), with a seed-sanity floor on the RANSAC consensus.
+            # The reference additionally demands a STRICT > 20 RANSAC
+            # consensus before refinement (`Sim3Solver::iterate`,
+            # src/Sim3Solver.cc:192) — but it buys that with sequential
+            # retry: up to 300 iterations per candidate, and the candidate
+            # set is re-drawn at every subsequent keyframe. Our RANSAC is
+            # one vmapped shot; at the low inlier ratios of long-range
+            # loops (~20/90 on the box-circuit fixture) a 3-point Horn fit
+            # rarely captures the full consensus even when the geometry is
+            # right, while the LM refinement (chi2 re-selection in both
+            # images) recovers it. So the hard >= 20 and >= 40 counts are
+            # enforced AFTER refinement — same counts, stronger estimator —
+            # and RANSAC only needs a 12-inlier seed (wrong candidate pairs
+            # measured n_inl 0/0/0/14 vs 21 for the true pair).
+            if int(n_seed) < 12 or int(n_inl) < 20 or int(n_matches) < 40:
                 continue
             self.pre_correction_kf_T = np.array(ms.kf_T)
             self.last_closure = (pk, c)

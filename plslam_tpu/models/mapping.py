@@ -1113,23 +1113,53 @@ def dedup_kf_point_rows(cam, ms: MapState) -> MapState:
 
 
 def search_in_neighbors(cam, ms: MapState, k_new,
-                        covis_targets: bool = False) -> MapState:
+                        covis_targets: bool = False,
+                        whole_map: bool = False,
+                        n_targets: int = 10, n_hop2: int = 5) -> MapState:
     """`SearchInNeighbors` (`src/LocalMapping.cc:1505`) both directions:
-    bind the whole map's visible points into the NEW keyframe's free
+    bind the covisible NEIGHBORHOOD's points into the NEW keyframe's free
     keypoint slots, and the new keyframe's points into its two predecessor
     keyframes — densifying the covisibility graph beyond what tracking
     inliers alone provide.
 
+    The forward direction is scoped to the reference's target set — the
+    `n_targets` best covisible keyframes plus each one's `n_hop2`-best
+    2-hop extension (`src/LocalMapping.cc:1508-1540`) — NOT the whole
+    map.  Whole-map fusion (the pre-round-4 behavior, kept behind
+    `whole_map` for A/B) re-associates the current keyframe with
+    long-lost landmarks by descriptor+projection alone at loop revisits,
+    silently absorbing drift that the explicit loop-closing stage (Sim3 +
+    essential graph + GBA) is supposed to measure and correct — measured
+    on the box-circuit fixture: the revisit rebinds into the first-lap
+    map, keyframe creation stops (c2 saturation), and no closure can
+    fire.
+
     With `covis_targets`, the reverse direction targets the new
     keyframe's top-2 TRUE covisible keyframes (falling back to the
-    predecessors when covisibility is weak) — the reference's target set
-    is the 20 best covisible neighbors plus their 2-hop extension
-    (`src/LocalMapping.cc:1505-1540`); at revisits those are old-pass
-    keyframes, not the two most recent."""
+    predecessors when covisibility is weak); at revisits those are
+    old-pass keyframes, not the two most recent."""
     K = ms.kf_T.shape[0]
     P = ms.pt_xyz.shape[0]
-    all_pts = jnp.ones((P,), bool)
-    ms = project_and_bind(cam, ms, k_new, all_pts)
+    if whole_map:
+        fuse_pts = jnp.ones((P,), bool)
+    else:
+        ids = jnp.arange(K)
+        row = mstate.covis_rows(ms, jnp.reshape(k_new, (1,)))[0]     # (K,)
+        w = jnp.where(ms.kf_valid & (ids != k_new), row, -1)
+        top_w, top_i = jax.lax.top_k(w, min(n_targets, K))
+        t1_ok = top_w > 0
+        rows2 = mstate.covis_rows(ms, top_i)                         # (n1, K)
+        rows2 = jnp.where(t1_ok[:, None], rows2, -1)
+        rows2 = jnp.where((ids[None, :] != k_new) & ms.kf_valid[None, :],
+                          rows2, -1)
+        nb_w, nb_i = jax.lax.top_k(rows2, min(n_hop2, K))            # (n1, n2)
+        tmask = jnp.zeros((K,), bool).at[top_i].max(t1_ok)
+        tmask = tmask.at[nb_i.reshape(-1)].max((nb_w > 0).reshape(-1))
+        trows = jnp.where(tmask[:, None], ms.kf_pt_idx, -1)
+        fuse_pts = jnp.zeros((P,), bool).at[
+            jnp.clip(trows, 0, P - 1).reshape(-1)].max(
+            (trows >= 0).reshape(-1))
+    ms = project_and_bind(cam, ms, k_new, fuse_pts)
     # points bound in k_new -> into the previous two keyframes
     new_pts = jnp.zeros((P,), bool).at[
         jnp.clip(ms.kf_pt_idx[k_new], 0, P - 1)].max(
@@ -1239,7 +1269,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      desc_majority: bool = False, bf: float = 0.0,
                      tri_covis: bool = False,
                      tri_covis_k: int = 3,
-                     sin_covis: bool = False) -> MapState:
+                     sin_covis: bool = False,
+                     sin_whole_map: bool = False) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -1320,7 +1351,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                                       scale_factors, max_depth)
     ms = fuse_duplicate_points(ms)
     ms = search_in_neighbors(cam, ms, k_new,
-                             covis_targets=sin_covis)
+                             covis_targets=sin_covis,
+                             whole_map=sin_whole_map)
     # Replace-rewiring above can leave a keyframe with two rows bound to
     # the same landmark (one at the wrong pixel); erase the worse row
     # before BA consumes the observations, then refresh counts.

@@ -140,6 +140,14 @@ class SLAMConfig:
                                     # src/LocalMapping.cc:1505-1540);
                                     # default decided by the paired
                                     # multirun protocol
+    sin_whole_map: bool = False     # SearchInNeighbors forward fuse
+                                    # against the WHOLE map (pre-round-4
+                                    # behavior) instead of the reference's
+                                    # 10-best-covisible + 2-hop target set
+                                    # (src/LocalMapping.cc:1508-1540).
+                                    # Whole-map fusion silently absorbs
+                                    # loop drift through data association
+                                    # (kept only for A/B)
     tri_covis_k: int = 3            # how many covisible partners (the
                                     # reference iterates 10-20 covisible
                                     # neighbors, src/LocalMapping.cc:333;
@@ -353,7 +361,8 @@ class System:
                         desc_majority=config.desc_majority,
                         tri_covis=config.tri_covis,
                         tri_covis_k=config.tri_covis_k,
-                        sin_covis=config.sin_covis),
+                        sin_covis=config.sin_covis,
+                        sin_whole_map=config.sin_whole_map),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
                         sigma2_levels=self.sigma2,
@@ -364,7 +373,8 @@ class System:
                         desc_majority=config.desc_majority,
                         tri_covis=config.tri_covis,
                         tri_covis_k=config.tri_covis_k,
-                        sin_covis=config.sin_covis)
+                        sin_covis=config.sin_covis,
+                        sin_whole_map=config.sin_whole_map)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors, n_levels=config.n_levels,

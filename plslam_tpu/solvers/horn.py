@@ -46,11 +46,20 @@ class Sim3RansacResult(NamedTuple):
 
 
 def ransac_sim3(key, X1, X2, uv1, uv2, mask, cam, sigma2_1=None, sigma2_2=None,
-                n_iters: int = 256, min_inliers: int = 20,
+                n_iters: int = 1024, min_inliers: int = 20,
                 fix_scale: bool = False) -> Sim3RansacResult:
     """X1/X2: (N,3) camera-frame positions of matched landmarks in KF1/KF2;
     uv1/uv2: their observed pixels. Finds S12 with X1 ~ S12(X2), inliers by
     reprojection in BOTH images (`CheckInliers`, `src/Sim3Solver.cc:340`).
+
+    Hypothesis budget: the reference runs up to 300 SEQUENTIAL iterations
+    per candidate with early exit at >20 inliers (`Sim3Solver::iterate`,
+    `src/Sim3Solver.cc:140-205`); here all hypotheses are vmapped 3-point
+    Horn solves scored in one program, so a larger budget costs one wider
+    batch dimension, not wall-clock — 1024 keeps acceptance power at the
+    low inlier ratios of long-range loop pairs (~20/90 on the box-circuit
+    fixture, where 256 one-shot draws miss the 20-inlier consensus that
+    the reference's retry-across-keyframes scheme eventually finds).
     """
     N = X1.shape[0]
     if sigma2_1 is None:

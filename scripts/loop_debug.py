@@ -18,17 +18,25 @@ def main():
     from plslam_tpu.models.system import System, SLAMConfig
 
     n = int(os.environ.get("N_FRAMES", "110"))
+    revisit = int(os.environ.get("REVISIT", "0"))
     scene = synthetic.make_scene(seed=7, layout="box")
     Ts_gt = synthetic.trajectory(n, "circle", amplitude=2.0)
+    if revisit:
+        # extend past 360 deg at the same per-frame speed: the revisit
+        # window gets `revisit` frames (several keyframes) instead of the
+        # tail of the single lap
+        Ts_gt = np.concatenate([Ts_gt, Ts_gt[:revisit]])
     frames = [synthetic.render(scene, T) for T in Ts_gt]
     print("rendered", flush=True)
 
-    cfg = SLAMConfig(fx=512.0, fy=512.0, cx=320.0, cy=240.0,  # fixture: 2.4% fx bias
+    fxb = float(os.environ.get("FX", "512.0"))
+    cfg = SLAMConfig(fx=fxb, fy=fxb, cx=320.0, cy=240.0,  # fixture: fx bias
                      k1=0, k2=0, p1=0, p2=0, k3=0,
                      n_features=512, n_levels=3,
                      max_kf=40, max_pt=8192, max_ln=256, n_lf=64,
                      ba_window=5, ba_points=1536,
                      kf_max_interval=3, kf_min_interval=2,
+                     tri_covis=bool(int(os.environ.get("TRI_COVIS", "1"))),
                      use_loop_closing=True, grow_map=True)
     slam = System(cfg)
     lc = slam.loop_closer
@@ -56,11 +64,11 @@ def main():
     orig_stage = lc._sim3_stage
     def stage_logged(ms, k, c, group, key):
         r = orig_stage(ms, k, c, group, key)
-        n_matches, rok, S12, n_inl = r
+        n_matches, n_seed, S12, n_inl = r
         print(f"  sim3 k={int(k)} c={int(c)}: n_matches={int(n_matches)} "
-              f"ok={bool(rok)} n_inl={int(n_inl)} s={float(S12.s):.4f}",
+              f"seed={int(n_seed)} n_inl={int(n_inl)} s={float(S12.s):.4f}",
               flush=True)
-        if bool(rok) and int(n_inl) >= 20:
+        if int(n_seed) >= 12 and int(n_inl) >= 20:
             ki, ci = int(k), int(c)
             # GT relative SE3 between the two keyframes' frames
             fid = np.asarray(ms.kf_frame_id)

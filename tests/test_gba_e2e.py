@@ -27,6 +27,11 @@ def test_global_ba_reduces_drift():
                      # Under the default (ratio) mapping this fixture's
                      # drift shrinks to ~0.025 and GBA's relative gain
                      # (0.025 -> 0.0196 measured) falls inside the noise.
+                     tri_covis=False,  # fixture pin (round 4): covisible
+                     # triangulation partners cut this fixture's drift to
+                     # 0.0266 with GBA gain 0.74x — inside noise again.
+                     # The recency ladder preserves the drift this test's
+                     # GBA-mechanism assert needs.
                      use_loop_closing=True)
     slam = System(cfg)
     for i, img in enumerate(frames):

@@ -33,6 +33,13 @@ def test_circuit_loop_closure_fires_and_corrects():
                      max_kf=40, max_pt=8192, max_ln=256, n_lf=64,
                      ba_window=5, ba_points=1536,
                      kf_max_interval=3, kf_min_interval=2,
+                     tri_covis=False,  # fixture pin (round 4): top-k
+                     # covisible triangulation partners rebind the revisit
+                     # into the first-pass map through the covisibility
+                     # graph, so drift is absorbed by data association and
+                     # no EXPLICIT closure fires — this test exists to
+                     # exercise the explicit detect->Sim3->essential-graph
+                     # ->GBA stack, which needs decoupled passes
                      use_loop_closing=True, grow_map=True)
     slam = System(cfg)
     for i, img in enumerate(frames):
