@@ -193,7 +193,7 @@ class RoundRobinTracker:
         for s, imgs in enumerate(imgs_per_stream):
             st = self.streams[s]
             (ms, T_last, vel), outs = slam._track_chunk(
-                st["ms"], imgs, st["T"], st["vel"])
+                st["ms"], imgs, st["T"], st["vel"], jnp.int32(-1))
             Ts, T_rels, scalars, m_pt, m_ln, feats_s, lfeats_s = outs
             B = int(imgs.shape[0])
             st["frame_id"] = st["frame_id"] + B
