@@ -66,6 +66,10 @@ class SLAMConfig:
                                     # 70-73% repeatability, fewer occupied
                                     # cells). Default decided by the paired
                                     # multirun protocol (BASELINE.md r4).
+    sel_cap: int = 8                # max keypoints drawn from one 32-px
+                                    # selection cell (ops/select.py
+                                    # k_per_cell); the spatial-spread
+                                    # backstop under sel_order="response"
     level_map: int = 1              # pyramid level->base coordinate mapping
                                     # (ops/extract.ExtractorConfig.level_map):
                                     # 0 naive reference parity, 1 actual-ratio
@@ -92,6 +96,13 @@ class SLAMConfig:
     # policy
     min_init_matches: int = 100
     min_track_inliers: int = 10
+    # catastrophic-jump guard (models/tracking.py): reject a pose update
+    # whose single-frame motion exceeds these caps (map units ~ unit median
+    # scene depth after monocular init; ~10x any real 30 fps inter-frame
+    # motion). Rejected frames coast on constant velocity, bind nothing,
+    # and report 0 inliers so the LOST->reloc ladder sees them.
+    max_step_t: float = 0.15
+    max_step_r: float = 0.35
     reloc_min_inliers: int = 50  # acceptance ladder (src/Tracking.cc:2229)
     # keyframe cadence: a 6-frame floor keeps consecutive-KF baselines
     # wide enough to triangulate well-conditioned landmarks (measured on
@@ -271,7 +282,8 @@ class System:
             n_features=config.n_features, n_levels=config.n_levels,
             scale=config.scale_factor, th_fast_high=config.th_fast_high,
             th_fast_low=config.th_fast_low, subpixel=config.subpixel,
-            level_map=config.level_map, sel_order=config.sel_order)
+            level_map=config.level_map, sel_order=config.sel_order,
+            sel_cap=config.sel_cap)
         self.map_cfg = mstate.MapConfig(
             max_kf=config.max_kf, max_pt=config.max_pt, max_ln=config.max_ln,
             n_kp=config.n_features, n_lf=config.n_lf,
@@ -295,7 +307,8 @@ class System:
             tracking.track_local_map, cam,
             scale_factors=self.scale_factors, sigma2_levels=self.sigma2,
             n_levels=config.n_levels, scale=config.scale_factor,
-            line_info=config.track_line_info)
+            line_info=config.track_line_info,
+            max_step_t=config.max_step_t, max_step_r=config.max_step_r)
         self._track = jit(track_fn)
         # tracking + stats update in one program, map state donated in HBM
         self._track_update = jax.jit(

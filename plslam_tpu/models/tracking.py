@@ -212,7 +212,8 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
                     n_levels: int = 8, scale: float = 1.2,
                     line_info: float = 1.0, velocity=None,
                     vel_gamma: float = 0.8, update_stats: bool = False,
-                    anchor_kf=None, kp_ur=None, bf: float = 0.0):
+                    anchor_kf=None, kp_ur=None, bf: float = 0.0,
+                    max_step_t: float = 0.15, max_step_r: float = 0.35):
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
@@ -304,12 +305,32 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     res2 = pose_opt.pose_optimize(cam, T_mid, obs2, rounds=4,
                                   iters_per_round=10)
 
-    inlier = res2.pt_inlier & m2
+    # Catastrophic-jump guard (VERDICT r4 item 5): the measured collapse
+    # mode is one frame whose aliased matches pull the optimum to a wildly
+    # implausible pose; every downstream stage (keyframe creation,
+    # triangulation) then corrupts the map before the host even sees the
+    # inlier count. Reject the update when the single-frame motion exceeds
+    # generous absolute caps (map units are ~unit-median-depth by the init
+    # normalization, so 0.15 is ~10x any real inter-frame motion at 30 fps;
+    # cf the reference's TrackWithMotionModel->TrackReferenceKeyFrame
+    # fallback, src/Tracking.cc:445-460 — this is the layer after both
+    # hypotheses fail). A rejected frame coasts on the constant-velocity
+    # prediction, binds NO observations, reports 0 inliers (the host's
+    # LOST->reloc ladder takes over if it persists), and decays the
+    # velocity instead of adopting the garbage estimate — so the map stays
+    # clean for relocalization.
+    xi_jump = se3.se3_log(res2.T @ se3.se3_inv(T_last))
+    jump_ok = ((jnp.linalg.norm(xi_jump[:3]) <= max_step_r)
+               & (jnp.linalg.norm(xi_jump[3:]) <= max_step_t)
+               & jnp.all(jnp.isfinite(res2.T)))
+    T_final = jnp.where(jump_ok, res2.T, T_pred)
+
+    inlier = res2.pt_inlier & m2 & jump_ok
     matched_pt = jnp.where(inlier, idx2.astype(jnp.int32), -1)
     M = lm.shape[0]
     ln_ep_in = res2.ln_inlier[:M] & res2.ln_inlier[M:2 * M] if lfeats is not None \
         else jnp.zeros((M,), bool)
-    ln_in = lm & ln_ep_in
+    ln_in = lm & ln_ep_in & jump_ok
     matched_ln = jnp.where(ln_in, lidx.astype(jnp.int32), -1)
     n_inl = jnp.sum(inlier.astype(jnp.int32))
     n_ln_inl = jnp.sum(ln_in.astype(jnp.int32))
@@ -326,10 +347,12 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     # wander in weakly-observable directions (plane-dominated views) into
     # exponential divergence (e_{k+1} ~ 2 e_k - e_{k-1}); gamma < 1 moves
     # the error-dynamics roots to {1, gamma}.
-    new_velocity = se3.se3_exp(
-        vel_gamma * se3.se3_log(res2.T @ se3.se3_inv(T_last)))
+    new_velocity = jnp.where(
+        jump_ok,
+        se3.se3_exp(vel_gamma * xi_jump),
+        se3.se3_exp(vel_gamma * se3.se3_log(velocity)))
     result = TrackResult(
-        T=res2.T,
+        T=T_final,
         matched_pt=matched_pt,
         inlier=inlier,
         n_inliers=n_inl,
@@ -342,7 +365,7 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
         scalars=jnp.stack([n_inl, n_ln_inl, n_matched, nref3,
                            ms.n_pt, ms.n_ln]),
         velocity=new_velocity,
-        T_rel=res2.T @ se3.se3_inv(ms.kf_T[k_last]),
+        T_rel=T_final @ se3.se3_inv(ms.kf_T[k_last]),
     )
     if update_stats:
         # fold the found/visible statistics update into the same program:

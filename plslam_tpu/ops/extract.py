@@ -64,6 +64,13 @@ class ExtractorConfig(NamedTuple):
                               # "response" = strongest-first (cv2 retainBest
                               # ordering; measured 2.3x keypoint
                               # repeatability on the photo head-to-head)
+    sel_cap: int = 8          # max keypoints drawn from one selection cell
+                              # (k_per_cell in ops/select.py). With
+                              # sel_order="response" a small cap is the
+                              # spatial-spread backstop (the reference's
+                              # quadtree keeps best-per-adaptive-node;
+                              # response-order + cap approximates that
+                              # with response-stable membership)
 
 
 def level_budgets(cfg: ExtractorConfig):
@@ -96,6 +103,7 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
             score = fast.fast_dual_threshold(im_l, cfg.th_fast_high,
                                              cfg.th_fast_low, cfg.margin)
         uv, resp, valid = select.select_grid_topk(score, n_l, cell=cfg.cell,
+                                                  k_per_cell=cfg.sel_cap,
                                                   order=cfg.sel_order)
         ang = orb.ic_angle(im_l, uv)
         im_blur = pyramid.blur(im_l)
