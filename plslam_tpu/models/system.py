@@ -103,6 +103,15 @@ class SLAMConfig:
     # and report 0 inliers so the LOST->reloc ladder sees them.
     max_step_t: float = 0.15
     max_step_r: float = 0.35
+    matcher_backend: str = "xla"  # projection-gated Hamming search backend
+                                  # in tracking: "xla" (fused by the
+                                  # compiler; measured 1.8 ms @ 1024x8192
+                                  # on v5e) or "pallas"
+                                  # (ops/pallas_match.py, the
+                                  # hand-scheduled fused kernel; ~550x
+                                  # slower on this f32-only Mosaic build —
+                                  # kept as a selectable backend +
+                                  # exactness reference, see its docstring)
     reloc_min_inliers: int = 50  # acceptance ladder (src/Tracking.cc:2229)
     # keyframe cadence: a 6-frame floor keeps consecutive-KF baselines
     # wide enough to triangulate well-conditioned landmarks (measured on
@@ -308,7 +317,8 @@ class System:
             scale_factors=self.scale_factors, sigma2_levels=self.sigma2,
             n_levels=config.n_levels, scale=config.scale_factor,
             line_info=config.track_line_info,
-            max_step_t=config.max_step_t, max_step_r=config.max_step_r)
+            max_step_t=config.max_step_t, max_step_r=config.max_step_r,
+            matcher_backend=config.matcher_backend)
         self._track = jit(track_fn)
         # tracking + stats update in one program, map state donated in HBM
         self._track_update = jax.jit(

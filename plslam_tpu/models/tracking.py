@@ -104,11 +104,18 @@ def local_map_mask(ms: MapState, window: int = 12, anchor_kf=None):
 
 def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
                        scale_factors, radius_scale, wide: bool,
-                       n_levels: int, scale: float, pt_mask=None):
+                       n_levels: int, scale: float, pt_mask=None,
+                       backend: str = "xla"):
     """Projection-window search of frame keypoints against the map under
     pose T. `wide=True` = motion-model-style radius (flat 15px x octave
     scale, `src/Tracking.cc:1338`); `wide=False` = local-map radii
-    (2.5/4.0 by viewing angle, `src/ORBmatcher.cc:146`)."""
+    (2.5/4.0 by viewing angle, `src/ORBmatcher.cc:146`).
+
+    `backend`: "xla" (default) lets XLA fuse the (N, P) distance matrix +
+    gate masks (measured ~1.8 ms for 1024x8192 on v5e); "pallas" routes
+    through the fused `ops/pallas_match.gated_hamming_best2` kernel
+    (exactness-tested equivalent; see its module docstring for the
+    measured comparison on this Mosaic build)."""
     Xc = se3.transform(T, ms.pt_xyz)
     z = Xc[:, 2]
     iz = 1.0 / jnp.maximum(z, 1e-6)
@@ -133,13 +140,19 @@ def _match_against_map(cam, ms: MapState, feats: PointFeatures, D, T,
         r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)
     radius = radius_scale * r_base * scale_factors[pred_level]  # (P,)
 
-    du = jnp.abs(feats.uv_un[:, 0:1] - u[None, :])  # (N, P)
-    dv = jnp.abs(feats.uv_un[:, 1:2] - v[None, :])
-    window = (du < radius[None, :]) & (dv < radius[None, :])
-    oct_ok = jnp.abs(feats.octave[:, None] - pred_level[None, :]) <= 1
-    mask = window & oct_ok & visible[None, :] & feats.valid[:, None]
-
-    best_idx, best, second = hamming.masked_best2(D, mask)
+    if backend == "pallas":
+        from plslam_tpu.ops import pallas_match
+        best_idx, best, second = pallas_match.gated_hamming_best2(
+            feats.desc, feats.uv_un, feats.octave, feats.valid,
+            ms.pt_desc, jnp.stack([u, v], axis=-1), radius, pred_level,
+            visible)
+    else:
+        du = jnp.abs(feats.uv_un[:, 0:1] - u[None, :])  # (N, P)
+        dv = jnp.abs(feats.uv_un[:, 1:2] - v[None, :])
+        window = (du < radius[None, :]) & (dv < radius[None, :])
+        oct_ok = jnp.abs(feats.octave[:, None] - pred_level[None, :]) <= 1
+        mask = window & oct_ok & visible[None, :] & feats.valid[:, None]
+        best_idx, best, second = hamming.masked_best2(D, mask)
     matched = best <= TH_HIGH
     # injectivity over map points (reference SearchByProjection semantics:
     # one keypoint per landmark per frame; see hamming.dedup_by_target)
@@ -213,7 +226,8 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
                     line_info: float = 1.0, velocity=None,
                     vel_gamma: float = 0.8, update_stats: bool = False,
                     anchor_kf=None, kp_ur=None, bf: float = 0.0,
-                    max_step_t: float = 0.15, max_step_r: float = 0.35):
+                    max_step_t: float = 0.15, max_step_r: float = 0.35,
+                    matcher_backend: str = "xla"):
     """Two-stage tracking as one jitted program, mirroring the reference's
     TrackWithMotionModel -> TrackLocalMap structure (`src/Tracking.cc:1316,
     1491`): a wide-radius search refines the constant-velocity prediction,
@@ -246,7 +260,8 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     # correct ratio matches form competing cost basins.
     idx_w, m_w, _ = _match_against_map(cam, ms, feats, D, T_pred,
                                        scale_factors, th, True, n_levels,
-                                       scale, pt_mask=local)
+                                       scale, pt_mask=local,
+                                       backend=matcher_backend)
     g_mask = feats.valid[:, None] & (ms.pt_valid & local)[None, :]
     g_idx, g_best, g_second = hamming.masked_best2(D, g_mask)
     g_ok = (g_best <= TH_LOW) & (
@@ -275,7 +290,8 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     # jointly optimized (TrackLocalMapWithLines, src/Tracking.cc:1491)
     idx2, m2, visible = _match_against_map(cam, ms, feats, D, T_mid,
                                            scale_factors, th, False,
-                                           n_levels, scale, pt_mask=local)
+                                           n_levels, scale, pt_mask=local,
+                                           backend=matcher_backend)
     if lfeats is not None:
         lidx, lm, ln_visible = _match_lines_against_map(cam, ms, lfeats, T_mid)
         L_ends = ms.ln_xyz[lidx]                       # (M, 2, 3)

@@ -74,6 +74,7 @@ def run_ours(seed: int, cond: str, frames: int, tpu: bool = False):
 
 
 def main():
+    global OUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--seeds", type=int, nargs="+", default=[5, 11, 23])
@@ -82,7 +83,12 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run the rebuild side on the real TPU chip "
                          "(cache entries tagged _tpu; never mixed with CPU)")
+    ap.add_argument("--out", default=OUT,
+                    help="result cache directory (use a fresh one after "
+                         "any code change that affects tracking, so stale "
+                         "cached runs are never mixed into a campaign)")
     args = ap.parse_args()
+    OUT = args.out
     os.makedirs(OUT, exist_ok=True)
 
     refs = {}

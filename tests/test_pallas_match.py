@@ -52,3 +52,46 @@ def test_pallas_kernel_matches_reference():
     rs = np.asarray(ref_second)
     m2 = (s < hamming.INVALID) & (rs < int(hamming.INVALID))
     np.testing.assert_array_equal(s[m2], rs[m2])
+
+
+def test_pallas_backend_in_tracking_pipeline():
+    """matcher_backend="pallas" must reproduce the xla path's tracking
+    result end-to-end (same pose, same inlier count) — the wiring gate for
+    the flag-gated backend (VERDICT r4 item 8)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from plslam_tpu.datasets import synthetic
+    from plslam_tpu.models import tracking
+    from plslam_tpu.models.system import System, SLAMConfig
+
+    cfg = SLAMConfig(
+        fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+        k1=0, k2=0, p1=0, p2=0, k3=0,
+        n_features=384, n_levels=3, max_kf=8, max_pt=2048,
+        n_lf=32, ba_window=3, ba_points=512, ba_lines=32,
+        kf_max_interval=5, use_loop_closing=False, grow_map=False)
+    scene = synthetic.make_scene(seed=7)
+    Ts = synthetic.trajectory(14, "orbit", amplitude=1.0)
+    frames = [np.asarray(synthetic.render(scene, T)).astype(np.uint8)
+              for T in Ts]
+    slam = System(cfg)
+    i = 0
+    while slam.state != "OK" and i < 8:
+        slam.track_monocular(frames[i], i / 30.0)
+        i += 1
+    assert slam.state == "OK"
+    feats, lfeats = slam._extract(jnp.asarray(frames[i]))
+    common = dict(scale_factors=slam.scale_factors,
+                  sigma2_levels=slam.sigma2,
+                  n_levels=cfg.n_levels, scale=cfg.scale_factor,
+                  velocity=jnp.eye(4))
+    r_xla = tracking.track_local_map(
+        slam.cam, slam.ms, feats, slam.T_last, lfeats=lfeats, **common)
+    with pltpu.force_tpu_interpret_mode():
+        r_pal = tracking.track_local_map(
+            slam.cam, slam.ms, feats, slam.T_last, lfeats=lfeats,
+            matcher_backend="pallas", **common)
+    assert int(r_xla.n_inliers) == int(r_pal.n_inliers)
+    np.testing.assert_allclose(np.asarray(r_xla.T), np.asarray(r_pal.T),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r_xla.matched_pt),
+                                  np.asarray(r_pal.matched_pt))
