@@ -70,6 +70,9 @@ class SLAMConfig:
                                     # selection cell (ops/select.py
                                     # k_per_cell); the spatial-spread
                                     # backstop under sel_order="response"
+    desc_pattern: str = "gauss"     # descriptor binary-test pattern:
+                                    # "gauss" | "learned" (see
+                                    # ops/extract.ExtractorConfig)
     level_map: int = 1              # pyramid level->base coordinate mapping
                                     # (ops/extract.ExtractorConfig.level_map):
                                     # 0 naive reference parity, 1 actual-ratio
@@ -292,7 +295,7 @@ class System:
             scale=config.scale_factor, th_fast_high=config.th_fast_high,
             th_fast_low=config.th_fast_low, subpixel=config.subpixel,
             level_map=config.level_map, sel_order=config.sel_order,
-            sel_cap=config.sel_cap)
+            sel_cap=config.sel_cap, desc_pattern=config.desc_pattern)
         self.map_cfg = mstate.MapConfig(
             max_kf=config.max_kf, max_pt=config.max_pt, max_ln=config.max_ln,
             n_kp=config.n_features, n_lf=config.n_lf,

@@ -64,6 +64,11 @@ class ExtractorConfig(NamedTuple):
                               # "response" = strongest-first (cv2 retainBest
                               # ordering; measured 2.3x keypoint
                               # repeatability on the photo head-to-head)
+    desc_pattern: str = "gauss"  # binary-test pattern: "gauss" (seeded
+                              # Gaussian, BRIEF construction) or "learned"
+                              # (rBRIEF greedy-decorrelated on our own
+                              # rendered patches, scripts/learn_pattern.py;
+                              # ops/learned_pattern.npy artifact)
     sel_cap: int = 8          # max keypoints drawn from one selection cell
                               # (k_per_cell in ops/select.py). With
                               # sel_order="response" a small cap is the
@@ -107,7 +112,8 @@ def extract_points(img, cfg: ExtractorConfig = ExtractorConfig()) -> PointFeatur
                                                   order=cfg.sel_order)
         ang = orb.ic_angle(im_l, uv)
         im_blur = pyramid.blur(im_l)
-        bits = orb.steered_descriptor(im_blur, uv, ang)
+        bits = orb.steered_descriptor(im_blur, uv, ang,
+                                      pattern=cfg.desc_pattern)
         if raw is not None:
             # geometry gets the refined location; orientation + descriptor
             # above sampled the integer location (reference parity)

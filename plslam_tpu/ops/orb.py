@@ -52,10 +52,24 @@ def _make_pattern(seed: int = 20260816) -> np.ndarray:
     return pts
 
 
-PATTERN = _make_pattern()
+def _load_learned_pattern() -> np.ndarray:
+    """rBRIEF-style decorrelated pattern trained by
+    `scripts/learn_pattern.py` on this pipeline's own steered patches
+    (held-out rendered scenes — NOT the evaluation seeds, and NOT the
+    reference's bit_pattern_31_ table). Falls back to the Gaussian pattern
+    if the artifact is absent."""
+    import os
+    p = os.path.join(os.path.dirname(__file__), "learned_pattern.npy")
+    if os.path.exists(p):
+        return np.load(p).astype(np.int32)
+    return _make_pattern()
 
 
-def _binned_test_matrix() -> np.ndarray:
+PATTERNS = {"gauss": _make_pattern(), "learned": _load_learned_pattern()}
+PATTERN = PATTERNS["gauss"]   # back-compat alias (tests/offline tools)
+
+
+def _binned_test_matrix(pattern: np.ndarray) -> np.ndarray:
     """(961, N_ANGLE_BINS*256) float32 +/-1 sampling matrix: column (b, i)
     has +1 at the bin-b-rotated B position of pair i and -1 at A, so
     patch @ M = I(B_rot) - I(A_rot) for every bin at once; bit = diff > 0."""
@@ -64,8 +78,8 @@ def _binned_test_matrix() -> np.ndarray:
         th = 2.0 * np.pi * b / N_ANGLE_BINS
         c, s = np.cos(th), np.sin(th)
         for which, sign in ((0, -1.0), (2, +1.0)):  # A -> -1, B -> +1
-            px = PATTERN[:, which].astype(np.float64)
-            py = PATTERN[:, which + 1].astype(np.float64)
+            px = pattern[:, which].astype(np.float64)
+            py = pattern[:, which + 1].astype(np.float64)
             rx = np.clip(np.round(px * c - py * s), -HALF_PATCH, HALF_PATCH)
             ry = np.clip(np.round(px * s + py * c), -HALF_PATCH, HALF_PATCH)
             p = ((ry + HALF_PATCH) * 31 + (rx + HALF_PATCH)).astype(np.int64)
@@ -73,16 +87,16 @@ def _binned_test_matrix() -> np.ndarray:
     return M
 
 
-_BIN_M_NP: np.ndarray | None = None
+_BIN_M_NP: dict = {}
 
 
-def _bin_matrix():
+def _bin_matrix(pattern: str = "gauss"):
     # cache the HOST array only: caching a jnp value would capture a tracer
     # when first touched inside a jit trace
-    global _BIN_M_NP
-    if _BIN_M_NP is None:
-        _BIN_M_NP = _binned_test_matrix().astype(np.float32)
-    return jnp.asarray(_BIN_M_NP, jnp.bfloat16)
+    if pattern not in _BIN_M_NP:
+        _BIN_M_NP[pattern] = _binned_test_matrix(
+            PATTERNS[pattern]).astype(np.float32)
+    return jnp.asarray(_BIN_M_NP[pattern], jnp.bfloat16)
 
 
 # ----------------------------------------------------------------------
@@ -184,7 +198,7 @@ def ic_angle(img, uv):
     return jnp.arctan2(m01, m10)
 
 
-def steered_descriptor(img_blur, uv, angle):
+def steered_descriptor(img_blur, uv, angle, pattern: str = "gauss"):
     """256-bit steered binary descriptor. Returns (K, 256) uint8 bits.
 
     cf `computeOrbDescriptor` (`src/ORBextractor.cc:108`): pattern points
@@ -207,7 +221,7 @@ def steered_descriptor(img_blur, uv, angle):
     t = jnp.einsum("kyx,kzy->kzx", p40, sel_y)        # (K, 31, 40)
     p31 = jnp.einsum("kzx,kcx->kzc", t, sel_x)        # (K, 31, 31)
 
-    diffs = jax.lax.dot(p31.reshape(k, 31 * 31), _bin_matrix(),
+    diffs = jax.lax.dot(p31.reshape(k, 31 * 31), _bin_matrix(pattern),
                         preferred_element_type=jnp.bfloat16)   # (K, 30*256)
     step = 2.0 * jnp.pi / N_ANGLE_BINS
     b = jnp.floor(jnp.mod(angle, 2.0 * jnp.pi) / step + 0.5

@@ -70,10 +70,10 @@ def gt_reproject(uv1, z1, T1, T2):
     return uv2, ok
 
 
-def ours_feats(img, order, cap):
+def ours_feats(img, order, cap, pattern="gauss"):
     from plslam_tpu.ops import extract
     cfg = extract.ExtractorConfig(n_features=1024, sel_order=order,
-                                  sel_cap=cap)
+                                  sel_cap=cap, desc_pattern=pattern)
     f = extract.extract_points(jax.numpy.asarray(img, jax.numpy.float32),
                                cfg)
     v = np.asarray(f.valid)
@@ -130,11 +130,14 @@ def main():
 
     configs = [
         ("uniform/8 (default)", ours_feats, ("uniform", 8)),
+        ("uniform/8 learned", lambda im, o, c: ours_feats(
+            im, o, c, "learned"), ("uniform", 8)),
         ("response/8", ours_feats, ("response", 8)),
+        ("response/8 learned", lambda im, o, c: ours_feats(
+            im, o, c, "learned"), ("response", 8)),
         ("response/4", ours_feats, ("response", 4)),
-        ("response/3", ours_feats, ("response", 3)),
-        ("response/2", ours_feats, ("response", 2)),
-        ("uniform/2", ours_feats, ("uniform", 2)),
+        ("response/4 learned", lambda im, o, c: ours_feats(
+            im, o, c, "learned"), ("response", 4)),
         ("cv2 ORB", cv_feats, (None, None)),
     ]
     print(f"{'config':<20} {'nkp':>5} {'repeat':>7} {'cells':>6} "
