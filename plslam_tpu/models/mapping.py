@@ -1115,7 +1115,8 @@ def dedup_kf_point_rows(cam, ms: MapState) -> MapState:
 def search_in_neighbors(cam, ms: MapState, k_new,
                         covis_targets: bool = False,
                         whole_map: bool = False,
-                        n_targets: int = 10, n_hop2: int = 5) -> MapState:
+                        n_targets: int = 10, n_hop2: int = 5,
+                        n_reverse: int = 2) -> MapState:
     """`SearchInNeighbors` (`src/LocalMapping.cc:1505`) both directions:
     bind the covisible NEIGHBORHOOD's points into the NEW keyframe's free
     keypoint slots, and the new keyframe's points into its two predecessor
@@ -1164,16 +1165,21 @@ def search_in_neighbors(cam, ms: MapState, k_new,
     new_pts = jnp.zeros((P,), bool).at[
         jnp.clip(ms.kf_pt_idx[k_new], 0, P - 1)].max(
         ms.kf_pt_idx[k_new] >= 0)
+    # The reference fuses the new keyframe's points into EVERY target
+    # keyframe (`src/LocalMapping.cc:1552-1557`), not just two; n_reverse
+    # widens the reverse direction toward that — the direct lever on
+    # landmark observation incidence (pt_n_obs; VERDICT r4 item 7, the
+    # reference's design incidence is ~6 observers/landmark vs our ~2.2).
     if covis_targets:
         row = mstate.covis_rows(ms, jnp.reshape(k_new, (1,)))[0]   # (K,)
         w = jnp.where(ms.kf_valid & (jnp.arange(K) != k_new), row, -1)
-        _, top = jax.lax.top_k(w, 2)
-        for i, back in enumerate((1, 2)):
+        _, top = jax.lax.top_k(w, min(n_reverse, K))
+        for i in range(min(n_reverse, K)):
             kt = jnp.where(w[top[i]] >= 10, top[i],
-                           jnp.clip(k_new - back, 0, K - 1))
+                           jnp.clip(k_new - (i + 1), 0, K - 1))
             ms = project_and_bind(cam, ms, kt, new_pts)
     else:
-        for back in (1, 2):
+        for back in range(1, n_reverse + 1):
             ms = project_and_bind(cam, ms, jnp.clip(k_new - back, 0, K - 1),
                                   new_pts)
     return ms
@@ -1270,7 +1276,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
                      tri_covis: bool = False,
                      tri_covis_k: int = 3,
                      sin_covis: bool = False,
-                     sin_whole_map: bool = False) -> MapState:
+                     sin_whole_map: bool = False,
+                     sin_reverse_n: int = 2) -> MapState:
     """The whole keyframe chain as ONE program: insert -> triangulate new
     points (two baselines) -> triangulate new lines (three baselines) ->
     depth-based creation (stereo/RGBD) -> fuse duplicates -> local BA ->
@@ -1352,7 +1359,8 @@ def process_keyframe(cam, ms: MapState, feats, lfeats, T, matched_pt,
     ms = fuse_duplicate_points(ms)
     ms = search_in_neighbors(cam, ms, k_new,
                              covis_targets=sin_covis,
-                             whole_map=sin_whole_map)
+                             whole_map=sin_whole_map,
+                             n_reverse=sin_reverse_n)
     # Replace-rewiring above can leave a keyframe with two rows bound to
     # the same landmark (one at the wrong pixel); erase the worse row
     # before BA consumes the observations, then refresh counts.

@@ -163,6 +163,14 @@ class SLAMConfig:
                                     # src/LocalMapping.cc:1505-1540);
                                     # default decided by the paired
                                     # multirun protocol
+    sin_reverse_n: int = 2          # SearchInNeighbors reverse-direction
+                                    # target count: how many keyframes the
+                                    # NEW keyframe's points are bound into
+                                    # (the reference fuses into every
+                                    # target keyframe,
+                                    # src/LocalMapping.cc:1552-1557) — the
+                                    # direct landmark-observation-density
+                                    # lever (VERDICT r4 item 7)
     sin_whole_map: bool = False     # SearchInNeighbors forward fuse
                                     # against the WHOLE map (pre-round-4
                                     # behavior) instead of the reference's
@@ -214,6 +222,17 @@ class SLAMConfig:
     th_depth: float = 40.0          # max trusted depth for direct creation
     depth_map_factor: float = 1.0   # RGBD depth image scaling
     rgb_order: bool = True          # Camera.RGB (color conversion order)
+    ln_detect_min_length: float = 24.0  # detector length floor in px
+                                    # (ops/lines.py). Measured on the photo
+                                    # frames (scripts/line_density_probe.py):
+                                    # 24 -> ~58 segments, 16 -> ~116,
+                                    # block=4 + 16 -> ~179 (the reference's
+                                    # LSD yields up to 200) — the detection
+                                    # side of the line-density lever
+                                    # (VERDICT r4 item 6)
+    ln_detect_block: int = 8        # structure-tensor block size in px;
+                                    # 4 = finer chains, ~2x segments, ~4x
+                                    # block-stage compute
     min_line_length: float = 0.0    # LINEextractor.min_line_length (fraction
                                     # of min(W,H), as the reference interprets
                                     # it in src/LineExtractor.cpp:39-67)
@@ -388,7 +407,8 @@ class System:
                         tri_covis=config.tri_covis,
                         tri_covis_k=config.tri_covis_k,
                         sin_covis=config.sin_covis,
-                        sin_whole_map=config.sin_whole_map),
+                        sin_whole_map=config.sin_whole_map,
+                        sin_reverse_n=config.sin_reverse_n),
                 static_argnames=(), donate_argnums=(0,)) if use_jit else \
                 partial(mapping.process_keyframe, cam,
                         sigma2_levels=self.sigma2,
@@ -400,7 +420,8 @@ class System:
                         tri_covis=config.tri_covis,
                         tri_covis_k=config.tri_covis_k,
                         sin_covis=config.sin_covis,
-                        sin_whole_map=config.sin_whole_map)
+                        sin_whole_map=config.sin_whole_map,
+                        sin_reverse_n=config.sin_reverse_n)
         self._relocalize = jit(partial(
             tracking.relocalize, cam, sigma2_levels=self.sigma2,
             scale_factors=self.scale_factors, n_levels=config.n_levels,
@@ -513,9 +534,10 @@ class System:
             # (`src/LineExtractor.cpp:39-67`); 0 keeps the detector default
             mll = self.cfg.min_line_length * min(self.cfg.width,
                                                  self.cfg.height)
-            lf = line_ops.detect_lines(img, n_out=self.cfg.n_lf,
-                                       mask=self._line_mask,
-                                       min_length=max(24.0, mll))
+            lf = line_ops.detect_lines(
+                img, n_out=self.cfg.n_lf, mask=self._line_mask,
+                block=self.cfg.ln_detect_block,
+                min_length=max(self.cfg.ln_detect_min_length, mll))
             # undistort endpoints, refresh the infinite-line equation
             ua = cam_mod.undistort_pixels(self.cam, lf.uv_a)
             ub = cam_mod.undistort_pixels(self.cam, lf.uv_b)

@@ -186,6 +186,36 @@ def _match_lines_against_map(cam, ms: MapState, lfeats, T,
               & (mid[:, 1] >= 0) & (mid[:, 1] < cam.height))
     visible = ms.ln_valid & (za > 0) & (zb > 0) & in_img
 
+    # Viewing-direction gate — the `MapLine::UpdateAverageDir` frustum
+    # check (`src/MapLine.cpp:334`, used by Frame::isInFrustum for lines,
+    # `src/Frame.cc:625`). The average observation direction is DERIVED
+    # from the current keyframe bindings each call (one (K, M) scatter)
+    # instead of being stored: a stored normal goes stale the moment loop
+    # correction or GBA moves the keyframes, and this program already
+    # holds the bindings.
+    L = ms.ln_valid.shape[0]
+    kf_R = ms.kf_T[:, :3, :3]
+    kf_centers = -jnp.einsum("kji,kj->ki", kf_R, ms.kf_T[:, :3, 3])  # (K,3)
+    lid = jnp.clip(ms.kf_ln_idx, 0, L - 1)                    # (K, M)
+    has = (ms.kf_ln_idx >= 0) & ms.kf_valid[:, None]
+    cnt = jnp.zeros((L,)).at[lid.reshape(-1)].add(
+        has.reshape(-1).astype(jnp.float32))
+    csum = jnp.zeros((L, 3)).at[lid.reshape(-1)].add(
+        jnp.where(has[..., None], jnp.broadcast_to(
+            kf_centers[:, None, :], has.shape + (3,)), 0.0).reshape(-1, 3))
+    mean_c = csum / jnp.maximum(cnt, 1.0)[:, None]
+    mid3 = 0.5 * (A + B)
+    avg_dir = mid3 - mean_c
+    avg_dir = avg_dir / jnp.maximum(
+        jnp.linalg.norm(avg_dir, axis=-1, keepdims=True), 1e-9)
+    T_wc = se3.se3_inv(T)
+    now_dir = mid3 - T_wc[:3, 3]
+    now_dir = now_dir / jnp.maximum(
+        jnp.linalg.norm(now_dir, axis=-1, keepdims=True), 1e-9)
+    view_cos = jnp.sum(avg_dir * now_dir, axis=-1)
+    # unobserved lines (cnt == 0) keep visible: no direction evidence yet
+    visible = visible & ((cnt < 1.0) | (view_cos > 0.5))
+
     proj_angle = jnp.arctan2(ub[:, 1] - ua[:, 1], ub[:, 0] - ua[:, 0]) % jnp.pi
     proj_len = jnp.linalg.norm(ub - ua, axis=-1)
 
@@ -335,9 +365,19 @@ def track_local_map(cam, ms: MapState, feats: PointFeatures, T_last,
     # LOST->reloc ladder takes over if it persists), and decays the
     # velocity instead of adopting the garbage estimate — so the map stays
     # clean for relocalization.
+    # The translation cap is RELATIVE to the tracked scene depth: monocular
+    # init normalizes median depth to ~1 (cap = max_step_t map units), but
+    # depth sensors build METRIC maps where the same number would reject
+    # ordinary motion — mean inlier depth is the scale proxy either way.
+    z2 = se3.transform(T_mid, ms.pt_xyz[idx2])[:, 2]
+    n_m2 = jnp.sum(m2.astype(jnp.float32))
+    scene_scale = jnp.where(
+        n_m2 >= 10.0,
+        jnp.sum(jnp.where(m2, z2, 0.0)) / jnp.maximum(n_m2, 1.0), 1.0)
     xi_jump = se3.se3_log(res2.T @ se3.se3_inv(T_last))
     jump_ok = ((jnp.linalg.norm(xi_jump[:3]) <= max_step_r)
-               & (jnp.linalg.norm(xi_jump[3:]) <= max_step_t)
+               & (jnp.linalg.norm(xi_jump[3:])
+                  <= max_step_t * jnp.maximum(scene_scale, 1e-3))
                & jnp.all(jnp.isfinite(res2.T)))
     T_final = jnp.where(jump_ok, res2.T, T_pred)
 
