@@ -5,8 +5,10 @@ import jax.numpy as jnp
 
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_synthetic_sequence_ate():
     n_frames = 28
     scene = synthetic.make_scene(seed=1)

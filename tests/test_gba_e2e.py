@@ -5,8 +5,10 @@ import jax.numpy as jnp
 
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_global_ba_reduces_drift():
     n = 72
     scene = synthetic.make_scene(seed=4)

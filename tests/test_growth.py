@@ -12,8 +12,10 @@ import jax.numpy as jnp
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.mapstate import state as mstate
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_grow_preserves_contents():
     cfg = mstate.MapConfig(max_kf=4, max_pt=64, max_ln=8, n_kp=32, n_lf=4,
                            n_levels=2)
@@ -46,6 +48,7 @@ def test_grow_preserves_contents():
     assert float(ms2.kf_ln_l2d[5, 0, 2]) < -1e8
 
 
+@pytest.mark.slow
 def test_system_grows_past_initial_capacity():
     n = 48
     scene = synthetic.make_scene(seed=2)

@@ -19,6 +19,7 @@ import numpy as np
 
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
 def _cfg(**kw):
@@ -33,6 +34,7 @@ def _cfg(**kw):
     return SLAMConfig(**base)
 
 
+@pytest.mark.slow
 def test_short_baseline_lines_gated_full_weight_survives():
     """Dense cadence + slow orbit: every 2-view candidate is below the
     conditioning gate, so NO lines enter the map — and with zero bad
@@ -70,6 +72,7 @@ def test_short_baseline_lines_gated_full_weight_survives():
     assert ate < 0.15, f"full-weight ATE {ate:.3f} on the stress regime"
 
 
+@pytest.mark.slow
 def test_healthy_baseline_lines_pass_gate_near_full_weight():
     """The lines-help cadence creates lines that pass the gate with soft
     weight ~1 (the regime where lines measurably cut ATE)."""

@@ -12,6 +12,7 @@ import numpy as np
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.datasets.synthetic import Plane, Scene
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
 def _run(frames, Ts_gt, use_lines):
@@ -41,6 +42,7 @@ def _run(frames, Ts_gt, use_lines):
                               Ts_gt[idx])
 
 
+@pytest.mark.slow
 def test_lines_on_beats_points_only_on_low_texture():
     n = 40
     scene = synthetic.make_scene(seed=9, n_lines=24)

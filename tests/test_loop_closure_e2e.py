@@ -19,8 +19,10 @@ import jax.numpy as jnp
 
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_circuit_loop_closure_fires_and_corrects():
     n = 110
     scene = synthetic.make_scene(seed=7, layout="box")

@@ -5,8 +5,10 @@ import numpy as np
 
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_loop_closure_fires_and_map_stays_consistent():
     n_frames = 44
     scene = synthetic.make_scene(seed=4)

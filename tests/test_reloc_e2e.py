@@ -6,8 +6,10 @@ import jax.numpy as jnp
 
 from plslam_tpu.datasets import synthetic
 from plslam_tpu.models.system import System, SLAMConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_kidnap_recovery():
     n_frames = 30
     scene = synthetic.make_scene(seed=2)

@@ -11,8 +11,10 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_mono_tum_driver_on_photo_sequence(tmp_path):
     from plslam_tpu.datasets import synthetic, textured
 
