@@ -185,3 +185,43 @@ class TestEssentialGraph:
             err_before += np.linalg.norm(eb)
             err_after += np.linalg.norm(ea)
         assert err_after < 0.15 * err_before, (err_before, err_after)
+
+
+class TestEPnPMinimal:
+    def test_epnp_recovers_with_heavy_outliers(self):
+        """The 4-point EPnP minimal sets keep an all-inlier sample likely
+        even at 40% outliers (eps^4 vs the DLT solver's eps^6) — the
+        regime Relocalization actually faces (`src/PnPsolver.cc`,
+        RANSAC minSet=4 at `src/Tracking.cc:2128`)."""
+        X, T, uv, rng = _scene()
+        n_bad = int(len(X) * 0.4)
+        uv_bad = uv.copy()
+        uv_bad[:n_bad] += rng.uniform(40, 120, (n_bad, 2)).astype(np.float32)
+        res = pnp.ransac_pnp(jax.random.PRNGKey(3), jnp.asarray(X),
+                             jnp.asarray(uv_bad), jnp.ones(len(X), bool),
+                             CAM, minimal="epnp")
+        assert bool(res.ok)
+        d = np.asarray(se3.se3_log(jnp.asarray(
+            np.asarray(res.T) @ np.linalg.inv(T))))
+        assert np.linalg.norm(d[:3]) < 0.02, d
+        assert np.linalg.norm(d[3:]) < 0.1, d
+        assert np.asarray(res.inliers)[:n_bad].sum() < 5
+
+    def test_epnp_not_worse_than_dlt(self):
+        """Same RANSAC budget, same scene: EPnP's winning hypothesis must
+        match or beat the DLT one (it solves a calibrated problem; DLT
+        fits 11 projective dofs from 6 points)."""
+        errs = {}
+        for name in ("epnp", "dlt"):
+            e = []
+            for seed in (0, 1, 2):
+                X, T, uv, rng = _scene()
+                res = pnp.ransac_pnp(jax.random.PRNGKey(seed),
+                                     jnp.asarray(X), jnp.asarray(uv),
+                                     jnp.ones(len(X), bool), CAM,
+                                     minimal=name)
+                d = np.asarray(se3.se3_log(jnp.asarray(
+                    np.asarray(res.T) @ np.linalg.inv(T))))
+                e.append(float(np.linalg.norm(d)))
+            errs[name] = float(np.mean(e))
+        assert errs["epnp"] <= errs["dlt"] * 1.2, errs
