@@ -59,18 +59,26 @@ class SLAMConfig:
                                     # (ops/extract.refine_subpixel) — keep off
     sel_order: str = "uniform"      # keypoint selection priority under the
                                     # per-cell cap: "uniform" = champion-per-
-                                    # cell first (quadtree-parity; measured
-                                    # 30% kp repeatability @1.5px on the
-                                    # photo head-to-head), "response" =
-                                    # strongest-first (cv2 retainBest order;
-                                    # 70-73% repeatability, fewer occupied
-                                    # cells). Default decided by the paired
-                                    # multirun protocol (BASELINE.md r4).
+                                    # cell first (quadtree-parity),
+                                    # "response" = strongest-first (cv2
+                                    # retainBest order; 74% vs 57% selected-
+                                    # set repeatability). Round-5 campaign:
+                                    # with desc_pattern=learned, uniform/8
+                                    # (mean kf ATE 0.0083, ratios 1.9-2.8x
+                                    # vs the C++ reference, spread 1.5x)
+                                    # and response/4 (0.0092, 1.3-3.4x) are
+                                    # statistically tied; uniform ships as
+                                    # the default for its tighter worst
+                                    # case + no clustering risk. Response
+                                    # WITHOUT the learned pattern was
+                                    # REJECTED (one 0.466 blow-up seed) —
+                                    # never flip sel_order alone
+                                    # (BASELINE.md round-5 table).
     sel_cap: int = 8                # max keypoints drawn from one 32-px
                                     # selection cell (ops/select.py
                                     # k_per_cell); the spatial-spread
                                     # backstop under sel_order="response"
-    desc_pattern: str = "gauss"     # descriptor binary-test pattern:
+    desc_pattern: str = "learned"   # descriptor binary-test pattern:
                                     # "gauss" | "learned" (see
                                     # ops/extract.ExtractorConfig)
     level_map: int = 1              # pyramid level->base coordinate mapping

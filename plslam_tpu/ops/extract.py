@@ -64,7 +64,7 @@ class ExtractorConfig(NamedTuple):
                               # "response" = strongest-first (cv2 retainBest
                               # ordering; measured 2.3x keypoint
                               # repeatability on the photo head-to-head)
-    desc_pattern: str = "gauss"  # binary-test pattern: "gauss" (seeded
+    desc_pattern: str = "learned"  # binary-test pattern: "gauss" (seeded
                               # Gaussian, BRIEF construction) or "learned"
                               # (rBRIEF greedy-decorrelated on our own
                               # rendered patches, scripts/learn_pattern.py;
