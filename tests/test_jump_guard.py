@@ -26,7 +26,8 @@ def _built_slam():
         k1=0, k2=0, p1=0, p2=0, k3=0,
         n_features=384, n_levels=3, max_kf=8, max_pt=2048,
         n_lf=32, ba_window=3, ba_points=512, ba_lines=32,
-        kf_max_interval=5, use_loop_closing=False, grow_map=False)
+        kf_max_interval=5, use_loop_closing=False, grow_map=False,
+        min_init_matches=60)
     scene = synthetic.make_scene(seed=7)
     Ts = synthetic.trajectory(14, "orbit", amplitude=1.0)
     frames = [np.asarray(synthetic.render(scene, T)).astype(np.uint8)

@@ -20,7 +20,8 @@ def test_identical_streams_identical_trajectories():
                      k1=0, k2=0, p1=0, p2=0, k3=0,
                      n_features=384, n_levels=3, max_kf=10, max_pt=3072,
                      n_lf=64, ba_window=4, ba_points=768, ba_lines=64,
-                     kf_max_interval=5, use_loop_closing=False)
+                     kf_max_interval=5, use_loop_closing=False,
+                     min_init_matches=60)
 
     # bootstrap one stream with the normal System (two-view init)
     boot = System(cfg)
