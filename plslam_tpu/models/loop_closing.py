@@ -39,8 +39,10 @@ CONSISTENCY_TH = 3  # src/LoopClosing.cc:43
 
 class LoopClosing:
     def __init__(self, cam, map_cfg, sigma2_levels, local_ba_fn, use_jit=True,
-                 fix_scale: bool = False):
+                 fix_scale: bool = False, max_drift_rot: float = 0.8):
         self.cam = cam
+        self.max_drift_rot = max_drift_rot  # rad; drift-plausibility gate
+        # on accepted Sim3 (see _try_close)
         self.map_cfg = map_cfg
         self.sigma2 = sigma2_levels
         self.fix_scale = fix_scale
@@ -415,6 +417,25 @@ class LoopClosing:
             # and RANSAC only needs a 12-inlier seed (wrong candidate pairs
             # measured n_inl 0/0/0/14 vs 21 for the true pair).
             if int(n_seed) < 12 or int(n_inl) < 20 or int(n_matches) < 40:
+                continue
+            # Drift-plausibility gate (round 5): a TRUE closure's Sim3
+            # differs from the map's own relative-pose estimate by the
+            # accumulated drift (small rotation); a perceptually-aliased
+            # match between REPEATED structure (the tiled-photo room: one
+            # wall matched onto a perpendicular wall, all descriptor and
+            # Sim3-consistency gates genuinely satisfied) implies a
+            # ~90-180 deg discrepancy and would rotate the whole
+            # trajectory through the essential graph (measured: kf ATE
+            # 0.010 -> 0.698 on a false (20,4) closure,
+            # scripts/default_loop_fixture_probe.py --photo). The
+            # reference has no such gate — perceptual aliasing is the
+            # classic place-recognition failure it simply never meets on
+            # its evaluation data.
+            R_map = np.asarray(ms.kf_T[pk][:3, :3] @ ms.kf_T[c][:3, :3].T)
+            R_err = R_map @ np.asarray(S12.R).T
+            ang = float(np.arccos(np.clip((np.trace(R_err) - 1.0) / 2.0,
+                                          -1.0, 1.0)))
+            if ang > self.max_drift_rot:
                 continue
             self.pre_correction_kf_T = np.array(ms.kf_T)
             self.last_closure = (pk, c)

@@ -124,6 +124,12 @@ class SLAMConfig:
                                   # kept as a selectable backend +
                                   # exactness reference, see its docstring)
     reloc_min_inliers: int = 50  # acceptance ladder (src/Tracking.cc:2229)
+    loop_max_drift_rot: float = 0.8  # rad; reject an accepted loop Sim3
+                                 # whose rotation disagrees with the map's
+                                 # own relative-pose estimate by more than
+                                 # this (perceptual-aliasing guard — a
+                                 # wall-aliased match implies ~90-180 deg;
+                                 # true closures differ only by drift)
     # keyframe cadence: a 6-frame floor keeps consecutive-KF baselines
     # wide enough to triangulate well-conditioned landmarks (measured on
     # the photo-room head-to-head, scripts/ref_compare.py: min_interval 3
@@ -488,8 +494,9 @@ class System:
         self.loop_closer = LoopClosing(
             cam, self.map_cfg, self.sigma2, self._global_ba,
             use_jit=use_jit,
-            fix_scale=(config.sensor != "mono")) if config.use_loop_closing \
-            else None
+            fix_scale=(config.sensor != "mono"),
+            max_drift_rot=config.loop_max_drift_rot) \
+            if config.use_loop_closing else None
 
         self.reset()
 

@@ -28,10 +28,21 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     amp = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     fx = float(sys.argv[3]) if len(sys.argv) > 3 else 512.0
-    scene = synthetic.make_scene(seed=7, layout="box")
+    if "--photo" in sys.argv:
+        # the r4 head-to-head geometry: closed photo room, outward-looking
+        # circle (opposite headings share nothing -> revisit reachable only
+        # through place recognition). Rendered at fx=500; `fx` is the
+        # TRACKING intrinsic, so fx != 500 injects the drift-forcing
+        # calibration bias (like the box fixture's 512 vs 500).
+        from plslam_tpu.datasets import textured
+        scene = textured.make_photo_scene(seed=5, fx=500.0, fy=500.0,
+                                          layout="room")
+    else:
+        scene = synthetic.make_scene(seed=7, layout="box")
     Ts_gt = synthetic.trajectory(n, "circle", amplitude=amp)
     frames = [synthetic.render(scene, T) for T in Ts_gt]
-    print(f"n={n} amp={amp} fx={fx} rendered", flush=True)
+    print(f"n={n} amp={amp} fx={fx} photo={'--photo' in sys.argv} rendered",
+          flush=True)
 
     cfg = SLAMConfig(fx=fx, fy=fx, cx=320.0, cy=240.0,
                      k1=0, k2=0, p1=0, p2=0, k3=0,

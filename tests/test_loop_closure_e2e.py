@@ -35,6 +35,14 @@ def test_circuit_loop_closure_fires_and_corrects():
                      max_kf=40, max_pt=8192, max_ln=256, n_lf=64,
                      ba_window=5, ba_points=1536,
                      kf_max_interval=3, kf_min_interval=2,
+                     desc_pattern="gauss",  # fixture pin (round 5): the
+                     # learned pattern is photo-texture-tuned and starves
+                     # on this blob-textured box (BASELINE.md round-5);
+                     # this test exercises the explicit loop STACK on a
+                     # deterministic fixture, so the detector config is
+                     # pinned alongside tri_covis below. The shipped
+                     # defaults' loop duty lives in
+                     # test_loop_closure_default_cfg.py (photo room).
                      tri_covis=False,  # fixture pin (round 4): top-k
                      # covisible triangulation partners rebind the revisit
                      # into the first-pass map through the covisibility
