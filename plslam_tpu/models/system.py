@@ -169,14 +169,22 @@ class SLAMConfig:
                                     # vs 1.24 for the recency ladder);
                                     # geomean paired ratio 0.50 vs default
                                     # (BASELINE.md round-4 table).
-    sin_covis: bool = False         # SearchInNeighbors reverse-rebind
-                                    # targets = top-2 covisible keyframes
-                                    # instead of the 2 predecessor
-                                    # keyframes (the reference's target
-                                    # set is the 20 best covisible + 2-hop,
-                                    # src/LocalMapping.cc:1505-1540);
-                                    # default decided by the paired
-                                    # multirun protocol
+    sin_covis: bool = True          # SearchInNeighbors reverse-rebind
+                                    # targets = top covisible keyframes
+                                    # instead of the predecessor keyframes
+                                    # (the reference's target set IS the
+                                    # covisible neighborhood,
+                                    # src/LocalMapping.cc:1505-1540).
+                                    # Round-4 (gauss pattern): 2/5 seeds
+                                    # catastrophically collapsed -> was
+                                    # default-off. Round-5 root cause:
+                                    # descriptor aliasing in the rebinds;
+                                    # with the learned pattern + jump
+                                    # guard the same lever wins 5/5 seeds
+                                    # (mean kf ATE 0.0069 vs 0.0083,
+                                    # ratios 1.5-2.3x vs the reference,
+                                    # BASELINE.md round-5 wave 3) ->
+                                    # default-on
     sin_reverse_n: int = 2          # SearchInNeighbors reverse-direction
                                     # target count: how many keyframes the
                                     # NEW keyframe's points are bound into
